@@ -1,0 +1,155 @@
+"""Kernel conformance: reference semantics (tspymfe cannot run in this
+environment — scipy/statsmodels/sklearn absent — so conformance is against
+hand-derived closed forms and the documented reference definitions, cited
+per test)."""
+
+import numpy as np
+import pytest
+
+import ts_pymfe_ray.features  # populate registry
+from ts_pymfe_ray.functions import stats as _st
+from ts_pymfe_ray.functions.gapfill import gap_fill
+from ts_pymfe_ray.registry import REGISTRY, SeriesCtx, kernels_of, evaluate_row
+
+
+@pytest.fixture(scope="module")
+def seasonal_ctx():
+    rng = np.random.default_rng(7)
+    t = np.arange(700)
+    y = 3 * np.sin(2 * np.pi * t / 24) + 0.01 * t + rng.normal(0, 0.5, 700)
+    return SeriesCtx(y, "doc-web-00000001")
+
+
+def test_acf_matches_direct_estimator():
+    # statsmodels acf(adjusted=True): acov[k]=sum/(n-k); acf=acov/acov[0]
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=200)
+    a = _st.acf(x, nlags=5)
+    mu = x.mean()
+    n = x.size
+    acov0 = ((x - mu) ** 2).sum() / n
+    for k in range(1, 6):
+        acovk = ((x[:-k] - mu) * (x[k:] - mu)).sum() / (n - k)
+        assert np.isclose(a[k - 1], acovk / acov0), k
+
+
+def test_pacf_ar1():
+    rng = np.random.default_rng(1)
+    n = 5000
+    x = np.zeros(n)
+    e = rng.normal(size=n)
+    for i in range(1, n):
+        x[i] = 0.6 * x[i - 1] + e[i]
+    p = _st.pacf_ld(x, nlags=5)
+    assert abs(p[0] - 0.6) < 0.05
+    assert np.all(np.abs(p[1:]) < 0.06)
+
+
+def test_skew_kurt_e1071_method3():
+    # _summary.py:149-273: method-3 = bias-True scipy value * correction
+    rng = np.random.default_rng(2)
+    x = rng.gamma(2.0, size=500)
+    n = x.size
+    mu = x.mean()
+    m2 = ((x - mu) ** 2).mean()
+    m3 = ((x - mu) ** 3).mean()
+    m4 = ((x - mu) ** 4).mean()
+    assert np.isclose(_st.skewness(x), (m3 / m2**1.5) * ((n - 1) / n) ** 1.5)
+    assert np.isclose(_st.kurtosis(x), (m4 / m2**2) * (1 - 1 / n) ** 2 - 3)
+
+
+def test_trim_mean():
+    x = np.arange(100.0)
+    # floor(0.02*100)=2 cut each side -> mean of 2..97
+    assert np.isclose(_st.trim_mean(x, 0.02), np.arange(2, 98).mean())
+
+
+def test_trend_season_strength_bounds(seasonal_ctx):
+    ts_val = REGISTRY["trend_strenght"].fn(seasonal_ctx)
+    ss_val = REGISTRY["season_strenght"].fn(seasonal_ctx)
+    assert 0.0 <= ts_val <= 1.0 and 0.0 <= ss_val <= 1.0
+    # strongly seasonal + trending series
+    assert ts_val > 0.8 and ss_val > 0.8
+
+
+def test_length_uses_full_series():
+    x = np.arange(2000.0)
+    ctx = SeriesCtx(x, "d")  # cap=512 applies to analysis, not length
+    assert REGISTRY["length"].fn(ctx) == 2000.0
+
+
+def test_step_changes_matches_reference_loop():
+    # direct port of the reference's O(n^2) loop (general.py:461-506)
+    rng = np.random.default_rng(5)
+    ts = rng.normal(size=150)
+    ts[70:] += 8
+    cmeans = np.cumsum(ts) / np.arange(1, ts.size + 1)
+    div = np.abs(ts[1:] - cmeans[:-1])
+    expect = np.array(
+        [int(div[i - 1] > 2 * np.std(ts[:i], ddof=1)) for i in np.arange(2, ts.size)],
+        dtype=float,
+    )
+    from ts_pymfe_ray.functions.kernels_general import _step_changes
+
+    np.testing.assert_allclose(_step_changes(ts), expect)
+
+
+def test_spikiness_matches_loo_loop():
+    rng = np.random.default_rng(6)
+    r = rng.normal(size=80)
+    expect = np.array([np.var(np.delete(r, i), ddof=1) for i in range(r.size)])
+    ctx = SeriesCtx(r, "d")
+    ctx._cache["components"] = (np.zeros(80), np.zeros(80), r)
+    from ts_pymfe_ray.functions.kernels_global import _spikiness
+
+    np.testing.assert_allclose(_spikiness(ctx), expect, rtol=1e-9)
+
+
+def test_walker_matches_sequential_loop():
+    rng = np.random.default_rng(8)
+    s = rng.normal(size=700)
+    from ts_pymfe_ray.functions.kernels_general import _walker
+
+    w = _walker(s, 0.1)
+    expect = np.zeros(s.size)
+    for i in range(1, s.size):
+        expect[i] = expect[i - 1] + 0.1 * (s[i - 1] - expect[i - 1])
+    np.testing.assert_allclose(w, expect, rtol=1e-8, atol=1e-10)
+
+
+def test_gap_fill_policies():
+    t = np.array([-1, -1, 4, -1, -1, -1, 8, 5, -1], dtype=np.int32)
+    g = gap_fill(t)
+    np.testing.assert_allclose(g, [4, 4, 4, 5, 6, 7, 8, 5, 5])
+    assert gap_fill(np.array([-1, -1], dtype=np.int32)).tolist() == [0.0, 0.0]
+    assert gap_fill(np.array([3, 7], dtype=np.int32)).dtype == np.float64
+
+
+def test_all_registered_kernels_run_clean(seasonal_ctx):
+    ks = kernels_of()
+    out = evaluate_row(seasonal_ctx.ts_all, "doc-web-00000001", ks)
+    bad = [k for k, v in out.items() if not np.isfinite(v)]
+    assert bad == [], f"kernels returned NaN on a benign series: {bad}"
+
+
+def test_nan_on_error_policy():
+    # degenerate constant series must not raise — NaN per feature instead
+    out = evaluate_row(np.full(50, 3.0), "doc-x", kernels_of())
+    assert len(out) > 0
+    assert all(isinstance(v, float) for v in out.values())
+
+
+def test_ljung_box_pvalues():
+    from ts_pymfe_ray.functions.kernels_autocorr import ljung_box_pvals
+
+    rng = np.random.default_rng(11)
+    white = rng.normal(size=1000)
+    p = ljung_box_pvals(white, 8)
+    assert p.size == 8 and np.all((p >= 0) & (p <= 1))
+    assert p.mean() > 0.1  # white noise: no autocorrelation
+    ar = np.zeros(1000)
+    e = rng.normal(size=1000)
+    for i in range(1, 1000):
+        ar[i] = 0.8 * ar[i - 1] + e[i]
+    p_ar = ljung_box_pvals(ar, 8)
+    assert np.all(p_ar < 1e-6)  # strong autocorrelation rejected

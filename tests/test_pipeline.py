@@ -1,0 +1,144 @@
+"""End-to-end pipeline tests over a tiny deterministic sequences table:
+rollup ladder correctness, token round-trip, resume, cross-series rollup."""
+
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from ts_pymfe_ray.functions import gorilla, sketch as sk
+from ts_pymfe_ray.functions.gapfill import gap_fill
+from ts_pymfe_ray.pipelines import flagship
+from ts_pymfe_ray.stages.rollup import RAW_BUCKET, decode_tier_row
+from ts_pymfe_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def rollup_out(ray_session, seq_dir_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tiers"))
+    res = flagship.run_rollup(seq_dir_small, out, num_shards=4)
+    return out, res
+
+
+def _load_rows(out_dir, **filt):
+    ds = pads.dataset(out_dir, format="parquet", ignore_prefixes=[".", "_", "manifest"])
+    tbl = ds.to_table()
+    rows = tbl.to_pylist()
+    for k, v in filt.items():
+        rows = [r for r in rows if r[k] == v]
+    return rows
+
+
+def test_rollup_completes_and_has_three_tiers(rollup_out):
+    out, res = rollup_out
+    assert res["committed"] == res["num_shards"]
+    rows = _load_rows(out)
+    tiers = {r["tier"] for r in rows}
+    assert tiers == {"raw", "10x", "100x"}
+    docs = {r["doc_id"] for r in rows}
+    assert len(rows) == 3 * len({(r["doc_id"], r["chunk_id"]) for r in rows})
+    assert len(docs) >= 400
+
+
+def test_raw_tier_token_roundtrip_bitwise(rollup_out, seq_dir_small):
+    """BASELINE.json invariant: decode(tokens_dod) == original tokens."""
+    out, _ = rollup_out
+    src = pads.dataset(seq_dir_small, format="parquet").to_table(
+        columns=["doc_id", "tokens"]
+    )
+    originals = dict(zip(src.column("doc_id").to_pylist(), src.column("tokens").to_pylist()))
+    rows = _load_rows(out, tier="raw")
+    assert rows
+    for r in rows[:200]:
+        dec = gorilla.decode_ints_dod(r["tokens_dod"])
+        orig = np.asarray(originals[r["doc_id"]], dtype=np.int64)
+        assert np.array_equal(dec, orig), r["doc_id"]
+
+
+def test_tier_ladder_matches_direct_computation(rollup_out, seq_dir_small):
+    """Tier streams decoded from parquet == sketches computed directly on
+    the gap-filled series (FIXTURES.md §3.2 at the pipeline level)."""
+    out, _ = rollup_out
+    src = pads.dataset(seq_dir_small, format="parquet").to_table(
+        columns=["doc_id", "tokens"]
+    )
+    originals = dict(zip(src.column("doc_id").to_pylist(), src.column("tokens").to_pylist()))
+    for tier, factor in (("raw", 1), ("10x", 10), ("100x", 100)):
+        rows = _load_rows(out, tier=tier)[:50]
+        assert rows
+        for r in rows:
+            x = gap_fill(np.asarray(originals[r["doc_id"]], dtype=np.int32))
+            direct = sk.derive_features(sk.compute_window_sketches(x, RAW_BUCKET * factor))
+            dec = decode_tier_row(r)
+            for stream in ("mean", "var", "acf1", "count"):
+                np.testing.assert_allclose(
+                    dec[stream], direct[stream], rtol=1e-9, equal_nan=True
+                )
+            assert dec["window_id"].tolist() == list(range(len(dec["mean"])))
+
+
+def test_resume_skips_committed_and_fingerprint_stable(
+    ray_session, seq_dir_small, tmp_path_factory
+):
+    """Kill after k shards -> resume -> manifest fingerprint identical to a
+    straight run (FIXTURES.md §3.4)."""
+    out_a = str(tmp_path_factory.mktemp("resume_a"))
+    out_b = str(tmp_path_factory.mktemp("resume_b"))
+    full = flagship.run_rollup(seq_dir_small, out_a, num_shards=4)
+    partial = flagship.run_rollup(seq_dir_small, out_b, num_shards=4, max_shards=2)
+    assert partial["committed"] == 2
+    resumed = flagship.run_rollup(seq_dir_small, out_b, num_shards=4)
+    assert resumed["committed"] == 4
+    assert resumed["fingerprint"] == full["fingerprint"]
+    # manifests carry lineage + metrics
+    rec = mf.load_committed(out_b)[0]
+    for key in ("input_files", "lineage_hash", "rows", "tokens", "wall_ms"):
+        assert key in rec
+
+
+def test_hot_key_splitting_exact(ray_session, seq_dir_small, tmp_path_factory):
+    """Forcing a tiny chunk threshold splits long rows; sketches must stay
+    exact per chunk and cover the full series."""
+    out = str(tmp_path_factory.mktemp("tiers_split"))
+    flagship.run_rollup(seq_dir_small, out, num_shards=2, max_chunk_tokens=6400)
+    rows = _load_rows(out, tier="raw")
+    split_docs = {}
+    for r in rows:
+        split_docs.setdefault(r["doc_id"], []).append(r)
+    multi = {d: rs for d, rs in split_docs.items() if len(rs) > 1}
+    assert multi, "expected at least one split doc"
+    doc, rs = next(iter(multi.items()))
+    rs.sort(key=lambda r: r["chunk_id"])
+    # chunks tile the series without overlap
+    total = sum(r["n_tok"] for r in rs)
+    toks = np.concatenate([gorilla.decode_ints_dod(r["tokens_dod"]) for r in rs])
+    assert toks.size == total
+    # window ids are globally consistent
+    wids = np.concatenate([decode_tier_row(r)["window_id"] for r in rs])
+    assert wids.tolist() == list(range(len(wids)))
+
+
+def test_features_pipeline(ray_session, seq_dir_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("feat"))
+    res = flagship.run_features(
+        seq_dir_small, out, groups=("general", "global_stats"), max_cost="medium",
+        num_shards=2,
+    )
+    ds = pads.dataset(out, format="parquet", ignore_prefixes=[".", "_", "manifest"]).to_table()
+    assert ds.num_rows >= 400
+    names = ds.column_names
+    assert "trend_strenght" in names and "length" in names
+    ts_col = ds.column("trend_strenght").to_numpy()
+    ok = np.isfinite(ts_col)
+    assert ok.mean() > 0.95
+    assert np.all((ts_col[ok] >= 0) & (ts_col[ok] <= 1))
+
+
+def test_rollup_by_source(ray_session, seq_dir_small):
+    res = flagship.rollup_by_source(seq_dir_small, tiers=("100x",)).to_pandas()
+    assert set(res["source"]) <= {"web", "code", "books", "chat"}
+    assert (res["tier"] == "100x").all()
+    # window 0 aggregates every doc of the source
+    w0 = res[res["window_id"] == 0]
+    assert (w0["n"] > 0).all()

@@ -1,0 +1,61 @@
+"""Rollup algebra invariants (FIXTURES.md §3.2): merged sketches equal
+direct computation — exact, property-based."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ts_pymfe_ray.functions import sketch as sk
+
+
+@given(
+    n=st.integers(1, 400),
+    bucket=st.integers(1, 64),
+    group=st.integers(1, 12),
+    seed=st.integers(0, 1000),
+)
+@settings(max_examples=120, deadline=None)
+def test_merge_adjacent_equals_direct(n, bucket, group, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=n) * 10
+    fine = sk.compute_window_sketches(x, bucket)
+    merged = sk.merge_adjacent(fine, group)
+    direct = sk.compute_window_sketches(x, bucket * group)
+    assert merged.shape == direct.shape
+    np.testing.assert_allclose(merged, direct, rtol=1e-9, atol=1e-9)
+
+
+@given(n=st.integers(3, 500), seed=st.integers(0, 500))
+@settings(max_examples=80, deadline=None)
+def test_derived_stats_match_numpy(n, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(2.0, 3.0, size=n)
+    whole = sk.compute_window_sketches(x, n)
+    f = sk.derive_features(whole)
+    mu = x.mean()
+    assert np.isclose(f["mean"][0], mu)
+    assert np.isclose(f["var"][0], x.var(ddof=1))
+    acf1 = ((x[:-1] - mu) * (x[1:] - mu)).sum() / ((x - mu) ** 2).sum()
+    assert np.isclose(f["acf1"][0], acf1)
+    m2 = ((x - mu) ** 2).mean()
+    m3 = ((x - mu) ** 3).mean()
+    m4 = ((x - mu) ** 4).mean()
+    skew3 = m3 / m2**1.5 * ((n - 1) / n) ** 1.5
+    kurt3 = (m4 / m2**2) * (1 - 1 / n) ** 2 - 3
+    assert np.isclose(f["skewness"][0], skew3)
+    assert np.isclose(f["kurtosis"][0], kurt3)
+    assert f["vmin"][0] == x.min() and f["vmax"][0] == x.max()
+
+
+def test_merge_two_and_unordered():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=100)
+    a = sk.compute_window_sketches(x[:60], 60)[0]
+    b = sk.compute_window_sketches(x[60:], 40)[0]
+    ab = sk.merge_two(a, b)
+    direct = sk.compute_window_sketches(x, 100)[0]
+    np.testing.assert_allclose(ab, direct, rtol=1e-12)
+    # unordered merge: moments exact, comoment drops cross terms
+    un = sk.merge_unordered(np.stack([a, b]))
+    np.testing.assert_allclose(un[:5], direct[:5], rtol=1e-12)

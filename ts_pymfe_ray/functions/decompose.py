@@ -1,0 +1,246 @@
+"""Time-series decomposition: Friedman SuperSmoother + STL, pure numpy.
+
+Mirrors /root/reference/tspymfe/_detrend.py:117-182: if the (estimated)
+period is <= 1, decompose with Friedman's Super Smoother (seasonal component
+all zeros); otherwise STL (Cleveland et al. 1990).  Both algorithms are
+reimplemented from the published papers because supersmoother/statsmodels
+are not importable in this environment:
+
+- SuperSmoother: Friedman 1984, "A variable span smoother" (SLAC PUB-3477).
+  Three running-linear smooths (spans 0.05 / 0.2 / 0.5), cross-validated
+  span selection per point, midrange-smoothing of the span curve,
+  interpolation between bracketing spans, final tweeter-span smooth.
+- STL: Cleveland, Cleveland, McRae & Terpenning 1990 (J. Official
+  Statistics 6).  Non-robust variant with statsmodels' defaults:
+  seasonal=7, trend = next odd >= ceil(1.5 p / (1 - 1.5/seasonal)),
+  low_pass = next odd > p, 2 inner iterations, 0 outer iterations.
+
+Everything is O(n * span) with vectorized inner loops (running sums /
+convolutions); x is always the equally-spaced index 0..n-1, which the
+implementation exploits (symmetric-window loess degenerates to a fixed
+convolution kernel in the interior).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- running linear smoother
+
+
+def _running_linear(y: np.ndarray, half: int) -> tuple[np.ndarray, np.ndarray]:
+    """Running local-linear smooth of y over x=0..n-1 with symmetric window
+    [i-half, i+half] (truncated at the edges).
+
+    Returns (fitted, cv_residual_abs): the smooth values and the absolute
+    leave-one-out cross-validation residuals (Friedman 1984 eq. for the
+    hat-diagonal of a local linear fit).
+    """
+    n = y.size
+    x = np.arange(n, dtype=np.float64)
+    lo = np.maximum(0, np.arange(n) - half)
+    hi = np.minimum(n, np.arange(n) + half + 1)
+
+    cy = np.concatenate([[0.0], np.cumsum(y)])
+    cx = np.concatenate([[0.0], np.cumsum(x)])
+    cxy = np.concatenate([[0.0], np.cumsum(x * y)])
+    cxx = np.concatenate([[0.0], np.cumsum(x * x)])
+
+    m = (hi - lo).astype(np.float64)
+    sy = cy[hi] - cy[lo]
+    sx = cx[hi] - cx[lo]
+    sxy = cxy[hi] - cxy[lo]
+    sxx = cxx[hi] - cxx[lo]
+
+    xbar = sx / m
+    ybar = sy / m
+    cov = sxy - sx * ybar
+    var = sxx - sx * xbar
+    with np.errstate(all="ignore"):
+        slope = np.where(var > 1e-12, cov / var, 0.0)
+    fit = ybar + slope * (x - xbar)
+    # leverage of point i in its own window: h = 1/m + (x-xbar)^2 / var
+    with np.errstate(all="ignore"):
+        h = 1.0 / m + np.where(var > 1e-12, (x - xbar) ** 2 / var, 0.0)
+    h = np.minimum(h, 0.999)
+    cv = np.abs(y - fit) / (1.0 - h)
+    return fit, cv
+
+
+def supersmoother(y: np.ndarray) -> np.ndarray:
+    """Friedman's Super Smoother trend estimate over x = 0..n-1."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n < 5:
+        return np.full(n, y.mean()) if n else y.copy()
+
+    spans = np.array([0.05, 0.2, 0.5])
+    halfs = [max(2, int(round(s * n / 2.0))) for s in spans]
+    mid_half = halfs[1]
+
+    fits = np.empty((3, n))
+    cvs = np.empty((3, n))
+    for k, hf in enumerate(halfs):
+        fits[k], cvs[k] = _running_linear(y, hf)
+        # smooth |cv| with the midrange span
+        cvs[k] = _running_linear(cvs[k], mid_half)[0]
+
+    best = np.argmin(cvs, axis=0)
+    span_opt = spans[best]
+    # smooth the selected spans with the midrange span
+    span_smooth = _running_linear(span_opt, mid_half)[0]
+    span_smooth = np.clip(span_smooth, spans[0], spans[-1])
+
+    # interpolate between the two bracketing primary smooths
+    res = np.empty(n)
+    idx_hi = np.searchsorted(spans, span_smooth, side="left")
+    idx_hi = np.clip(idx_hi, 1, 2)
+    s_lo, s_hi = spans[idx_hi - 1], spans[idx_hi]
+    f = (span_smooth - s_lo) / (s_hi - s_lo)
+    rows = np.arange(n)
+    res = (1 - f) * fits[idx_hi - 1, rows] + f * fits[idx_hi, rows]
+
+    # final smooth with the tweeter span
+    return _running_linear(res, halfs[0])[0]
+
+
+# ---------------------------------------------------------------- loess (deg 1, equal spacing)
+
+
+def _tricube(u: np.ndarray) -> np.ndarray:
+    w = np.clip(1.0 - np.abs(u) ** 3, 0.0, None)
+    return w**3
+
+
+def _loess_fit_points(
+    x: np.ndarray, y: np.ndarray, x0: np.ndarray, q: int
+) -> np.ndarray:
+    """Loess degree-1 fit of (x, y) evaluated at points x0 (small count) —
+    used for window edges and cycle-subseries extrapolation."""
+    n = x.size
+    q_eff = min(q, n)
+    out = np.empty(x0.size)
+    for j, xs in enumerate(x0):
+        d = np.abs(x - xs)
+        if q_eff < n:
+            lam = np.partition(d, q_eff - 1)[q_eff - 1]
+        else:
+            lam = d.max() * max(1.0, q / n)
+        if lam <= 0:
+            lam = 1.0
+        w = _tricube(d / lam)
+        sw = w.sum()
+        if sw <= 0:
+            out[j] = y.mean()
+            continue
+        xbar = (w * x).sum() / sw
+        ybar = (w * y).sum() / sw
+        var = (w * (x - xbar) ** 2).sum()
+        cov = (w * (x - xbar) * (y - ybar)).sum()
+        slope = cov / var if var > 1e-12 else 0.0
+        out[j] = ybar + slope * (xs - xbar)
+    return out
+
+
+def loess_equal(y: np.ndarray, q: int) -> np.ndarray:
+    """Loess (degree 1, tricube) over equally spaced x for ALL points.
+
+    Interior points have symmetric windows, where the weighted linear fit
+    reduces to a fixed-kernel weighted average (the slope term cancels) —
+    one np.convolve call.  Edge points fall back to explicit local fits.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n == 0:
+        return y.copy()
+    q = max(2, int(q))
+    if q >= n:
+        x = np.arange(n, dtype=np.float64)
+        return _loess_fit_points(x, y, x, q)
+    h = (q - 1) // 2
+    if h < 1:
+        return y.copy()
+    offs = np.arange(-h, h + 1, dtype=np.float64)
+    w = _tricube(offs / h) if h > 0 else np.ones(1)
+    w = w / w.sum()
+    smooth = np.convolve(y, w[::-1], mode="same")
+    # edges: explicit asymmetric loess fits
+    x = np.arange(n, dtype=np.float64)
+    edge = np.concatenate([np.arange(h), np.arange(n - h, n)])
+    if edge.size:
+        smooth[edge.astype(int)] = _loess_fit_points(x, y, x[edge], q)
+    return smooth
+
+
+# ---------------------------------------------------------------- STL
+
+
+def _ma(y: np.ndarray, w: int) -> np.ndarray:
+    """Simple moving average with window w, valid mode (len = n - w + 1)."""
+    c = np.concatenate([[0.0], np.cumsum(y)])
+    return (c[w:] - c[:-w]) / w
+
+
+def stl_decompose(
+    y: np.ndarray, period: int, seasonal: int = 7, inner_iter: int = 2
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Non-robust STL; returns (trend, seasonal, resid)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    p = int(period)
+    if p < 2 or n < 2 * p:
+        tr = supersmoother(y)
+        return tr, np.zeros(n), y - tr
+
+    s_len = seasonal if seasonal % 2 == 1 else seasonal + 1
+    t_len = int(np.ceil(1.5 * p / (1.0 - 1.5 / s_len)))
+    t_len += 1 - t_len % 2  # next odd
+    l_len = p + 1 if p % 2 == 0 else p + 2  # smallest odd > p
+
+    trend = np.zeros(n)
+    season = np.zeros(n)
+    for _ in range(inner_iter):
+        detr = y - trend
+        # cycle-subseries smoothing, extended one period each side
+        C = np.empty(n + 2 * p)
+        for s in range(p):
+            sub = detr[s::p]
+            m = sub.size
+            xs = np.arange(m, dtype=np.float64)
+            smoothed = loess_equal(sub, s_len)
+            # extrapolate one position before and after
+            ext = _loess_fit_points(xs, sub, np.array([-1.0, float(m)]), min(s_len, m))
+            C[s] = ext[0]
+            C[p + s :: p][:m] = smoothed
+            C[p + s + m * p] = ext[1]
+        # low-pass: MA(p) x MA(p) x MA(3), then loess(l_len)
+        L = _ma(_ma(_ma(C, p), p), 3)  # length n + 2p - 2(p-1) - 2 = n
+        L = loess_equal(L, l_len)
+        season = C[p : p + n] - L
+        trend = loess_equal(y - season, t_len)
+    resid = y - trend - season
+    return trend, season, resid
+
+
+def decompose(
+    ts: np.ndarray, ts_period: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference decompose semantics (/root/reference/tspymfe/_detrend.py:117-182):
+    period unknown -> SuperSmoother first, estimate period from its residuals;
+    period <= 1 -> SuperSmoother components; else STL on the original series.
+    """
+    from ts_pymfe_ray.functions.period import ts_period_from_detrended
+
+    y = np.asarray(ts, dtype=np.float64)
+    ss_comps = None
+    if ts_period is None:
+        tr = supersmoother(y)
+        ss_comps = (tr, np.zeros(y.size), y - tr)
+        ts_period = ts_period_from_detrended(ss_comps[2])
+    if ts_period <= 1:
+        if ss_comps is None:
+            tr = supersmoother(y)
+            ss_comps = (tr, np.zeros(y.size), y - tr)
+        return ss_comps
+    return stl_decompose(y, ts_period)

@@ -1,0 +1,151 @@
+"""Core per-series statistical kernels (pure numpy, no scipy/statsmodels).
+
+Semantics mirror the reference (cited file:line); since scipy/statsmodels
+are not available in this environment, the math is reimplemented from the
+published definitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def standardize_ts(ts: np.ndarray) -> np.ndarray:
+    """Z-score with population std — sklearn StandardScaler semantics
+    (reference: /root/reference/tspymfe/_utils.py:70-83)."""
+    ts = np.asarray(ts, dtype=np.float64)
+    sd = ts.std()  # ddof=0, matching StandardScaler
+    if sd == 0 or not np.isfinite(sd):
+        return np.zeros_like(ts)
+    return (ts - ts.mean()) / sd
+
+
+def acf(ts: np.ndarray, nlags: int | None = None, adjusted: bool = True) -> np.ndarray:
+    """Autocorrelation function via FFT, statsmodels-compatible.
+
+    statsmodels.tsa.stattools.acf(x, nlags, adjusted=True, fft=True):
+    acov[k] = sum((x_i - mu)(x_{i+k} - mu)) / (n - k)  [adjusted]
+              or / n [not adjusted]; acf = acov / acov[0].
+    Returns lags 1..nlags (lag 0 dropped — reference drops it,
+    /root/reference/tspymfe/autocorr.py:188-191).
+    """
+    x = np.asarray(ts, dtype=np.float64)
+    n = x.size
+    if nlags is None:
+        nlags = n // 2
+    nlags = int(min(nlags, n - 1))
+    if n < 2 or nlags < 1:
+        return np.empty(0)
+    xd = x - x.mean()
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    fx = np.fft.rfft(xd, nfft)
+    acov_raw = np.fft.irfft(fx * np.conj(fx), nfft)[: nlags + 1]
+    if adjusted:
+        acov = acov_raw / (n - np.arange(nlags + 1))
+    else:
+        acov = acov_raw / n
+    if acov[0] == 0:
+        return np.full(nlags, np.nan)
+    return (acov / acov[0])[1:]
+
+
+def acf_full(ts: np.ndarray, nlags: int | None = None, adjusted: bool = True) -> np.ndarray:
+    """ACF including lag 0 (statsmodels layout)."""
+    a = acf(ts, nlags=nlags, adjusted=adjusted)
+    return np.concatenate([[1.0], a])
+
+
+def pacf_ld(ts: np.ndarray, nlags: int | None = None) -> np.ndarray:
+    """Partial autocorrelation via Levinson-Durbin on the adjusted ACF.
+
+    The reference uses statsmodels pacf(method="ols-adjusted")
+    (/root/reference/tspymfe/autocorr.py:194-250); OLS per lag is O(n*k^3)
+    total, so the engine uses the Levinson-Durbin recursion (Yule-Walker on
+    the adjusted ACF) — O(k^2) — and documents the (small-sample-only)
+    numerical divergence from the OLS flavor.  Returns lags 1..nlags.
+    """
+    x = np.asarray(ts, dtype=np.float64)
+    n = x.size
+    if nlags is None:
+        nlags = 1 + n // 10
+    nlags = int(min(nlags, max(0, n - 1)))
+    if nlags < 1:
+        return np.empty(0)
+    r = np.concatenate([[1.0], acf(x, nlags=nlags, adjusted=True)])
+    pacf = np.empty(nlags)
+    phi = np.zeros((nlags + 1, nlags + 1))
+    phi[1, 1] = r[1]
+    pacf[0] = r[1]
+    for k in range(2, nlags + 1):
+        num = r[k] - phi[k - 1, 1:k] @ r[1:k][::-1]
+        den = 1.0 - phi[k - 1, 1:k] @ r[1:k]
+        phi[k, k] = num / den if den != 0 else np.nan
+        phi[k, 1:k] = phi[k - 1, 1:k] - phi[k, k] * phi[k - 1, 1:k][::-1]
+        pacf[k - 1] = phi[k, k]
+    return pacf
+
+
+def skewness(values: np.ndarray, method: int = 3, bias: bool = True) -> float:
+    """e1071-compatible skewness (reference _summary.py:149-209)."""
+    x = np.asarray(values, dtype=np.float64)
+    n = x.size
+    if n == 0:
+        return np.nan
+    mu = x.mean()
+    m2 = ((x - mu) ** 2).mean()
+    m3 = ((x - mu) ** 3).mean()
+    with np.errstate(all="ignore"):
+        g1 = m3 / m2**1.5 if m2 > 0 else 0.0
+        sk = g1
+        if not bias and n > 2 and m2 > 0:
+            sk = np.sqrt(n * (n - 1.0)) / (n - 2.0) * g1
+        if method == 2 and n != 2:
+            sk *= (n * (n - 1.0)) ** 0.5 / (n - 2.0)
+        elif method == 3:
+            sk *= ((n - 1.0) / n) ** 1.5
+    return float(sk)
+
+
+def kurtosis(values: np.ndarray, method: int = 3, bias: bool = True) -> float:
+    """e1071-compatible kurtosis (reference _summary.py:212-273)."""
+    x = np.asarray(values, dtype=np.float64)
+    n = x.size
+    if n == 0:
+        return np.nan
+    mu = x.mean()
+    m2 = ((x - mu) ** 2).mean()
+    m4 = ((x - mu) ** 4).mean()
+    with np.errstate(all="ignore"):
+        g2 = m4 / m2**2 - 3.0 if m2 > 0 else -3.0
+        kt = g2
+        if not bias and n > 3 and m2 > 0:
+            kt = ((n - 1.0) / ((n - 2.0) * (n - 3.0))) * ((n + 1.0) * g2 + 6.0)
+        if method == 2 and n > 3:
+            kt = (n + 1.0) * kt + 6.0
+            kt *= (n - 1.0) / ((n - 2.0) * (n - 3.0))
+        elif method == 3:
+            kt = (kt + 3.0) * (1.0 - 1.0 / n) ** 2 - 3.0
+    return float(kt)
+
+
+def trim_mean(values: np.ndarray, proportiontocut: float = 0.02) -> float:
+    """scipy.stats.trim_mean semantics (reference ft_t_mean,
+    global_stats.py:848): sort, drop floor(p*n) from each end, mean."""
+    x = np.sort(np.asarray(values, dtype=np.float64))
+    n = x.size
+    k = int(n * proportiontocut)
+    if n - 2 * k <= 0:
+        return np.nan
+    return float(x[k : n - k].mean())
+
+
+def diff(ts: np.ndarray, order: int = 1) -> np.ndarray:
+    return np.diff(np.asarray(ts, dtype=np.float64), n=order)
+
+
+def seasonal_diff(ts: np.ndarray, period: int) -> np.ndarray:
+    """ts[p:] - ts[:-p] (reference ft_*_sdiff, global_stats.py:253-279)."""
+    x = np.asarray(ts, dtype=np.float64)
+    if period >= x.size:
+        return np.empty(0)
+    return x[period:] - x[:-period]

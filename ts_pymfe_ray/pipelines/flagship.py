@@ -1,0 +1,247 @@
+"""Flagship pipelines.
+
+1. :func:`run_rollup` — the headline retention-ladder job: sequences ->
+   gap-fill -> raw/10x/100x window sketches -> Gorilla-compressed tier rows
+   -> partitioned parquet + manifest (exact resume).  Map-only: zero
+   shuffles (SURVEY.md §7.3 — series are row-atomic).
+2. :func:`run_features` — per-series ts-pymfe feature extraction (the
+   fit+extract engine) -> wide parquet.
+3. :func:`rollup_by_source` — cross-series continuous aggregate:
+   partial sketches per (source, tier, window_id) combined inside each
+   batch (combiner), then one small groupby merge (partial+final pattern;
+   the only shuffle in the engine, over pre-aggregated rows).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+import ray.data
+
+from ts_pymfe_ray.functions import sketch as sk
+from ts_pymfe_ray.sources.sequences import list_parquet_files, read_sequences, shard_files
+from ts_pymfe_ray.stages.features import FeatureStage
+from ts_pymfe_ray.stages.rollup import RollupStage, split_long_rows
+from ts_pymfe_ray.state import manifest as mf
+
+DEFAULT_OUT_ROOT = "/tmp/ts_pymfe_ray_out"
+
+
+def _count_written(out_shard_dir: str) -> tuple[int, int]:
+    """(rows, raw-tier token count) from the just-written shard output."""
+    ds = pads.dataset(out_shard_dir, format="parquet")
+    rows = ds.count_rows()
+    tok = 0
+    for b in ds.to_batches(columns=["tier", "n_tok"]):
+        t = b.column(0).to_pylist()
+        n = b.column(1).to_numpy()
+        tok += int(n[np.asarray([x == "raw" for x in t], dtype=bool)].sum())
+    return rows, tok
+
+
+def run_rollup(
+    input_dir: str,
+    out_dir: str,
+    num_shards: int = 8,
+    resume: bool = True,
+    batch_size: int = 64,
+    num_parts: int = 64,
+    store_tokens: bool = True,
+    max_chunk_tokens: int = 1_048_576,
+    max_shards: int | None = None,
+) -> dict:
+    """Tier-ladder rollup with exact shard-level checkpoint/resume.
+
+    ``max_shards`` limits how many (uncommitted) shards to process this
+    call — used by the kill/resume test to simulate a mid-job crash.
+    """
+    files = list_parquet_files(input_dir)
+    shards = shard_files(files, num_shards)
+    config = {
+        "job": "rollup",
+        "num_parts": num_parts,
+        "store_tokens": store_tokens,
+        "max_chunk_tokens": max_chunk_tokens,
+    }
+    if resume:
+        mf.clean_uncommitted(out_dir, len(shards))
+    committed = mf.load_committed(out_dir) if resume else {}
+    done = 0
+    stage = RollupStage(num_parts=num_parts, store_tokens=store_tokens)
+    for sid, shard in enumerate(shards):
+        if sid in committed or not shard:
+            continue
+        if max_shards is not None and done >= max_shards:
+            break
+        t0 = time.perf_counter()
+        ds = read_sequences(shard)
+        ds = ds.map_batches(
+            split_long_rows,
+            batch_format="pyarrow",
+            fn_kwargs={"max_chunk_tokens": max_chunk_tokens},
+        )
+        ds = ds.map_batches(
+            stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+        )
+        out_shard = mf.shard_dir(out_dir, sid)
+        ds.write_parquet(out_shard)
+        rows, tokens = _count_written(out_shard)
+        mf.commit_shard(
+            out_dir, sid, shard, config, rows, tokens,
+            (time.perf_counter() - t0) * 1000.0,
+        )
+        done += 1
+    return {
+        "out_dir": out_dir,
+        "committed": len(mf.load_committed(out_dir)),
+        "num_shards": len(shards),
+        "fingerprint": mf.manifest_fingerprint(out_dir),
+    }
+
+
+def run_features(
+    input_dir: str,
+    out_dir: str,
+    groups: tuple[str, ...] | None = None,
+    max_cost: str = "medium",
+    num_shards: int = 4,
+    resume: bool = True,
+    batch_size: int = 32,
+    concurrency: int | None = None,
+) -> dict:
+    """Per-series feature extraction.  Heavy kernel packs (GP / model fits)
+    run the stage as an actor pool (``concurrency``) so per-actor setup is
+    amortized; cheap/medium packs run as stateless tasks."""
+    files = list_parquet_files(input_dir)
+    shards = shard_files(files, num_shards)
+    config = {"job": "features", "groups": sorted(groups) if groups else None, "max_cost": max_cost}
+    if resume:
+        mf.clean_uncommitted(out_dir, len(shards))
+    committed = mf.load_committed(out_dir) if resume else {}
+    for sid, shard in enumerate(shards):
+        if sid in committed or not shard:
+            continue
+        t0 = time.perf_counter()
+        ds = read_sequences(shard)
+        kwargs: dict = {"batch_format": "pyarrow", "zero_copy_batch": True, "batch_size": batch_size}
+        if concurrency or max_cost == "heavy":
+            kwargs["concurrency"] = concurrency or 4
+            ds = ds.map_batches(
+                FeatureStage, fn_constructor_kwargs={"groups": groups, "max_cost": max_cost}, **kwargs
+            )
+        else:
+            ds = ds.map_batches(FeatureStage(groups=groups, max_cost=max_cost), **kwargs)
+        out_shard = mf.shard_dir(out_dir, sid)
+        ds.write_parquet(out_shard)
+        dset = pads.dataset(out_shard, format="parquet")
+        rows = dset.count_rows()
+        mf.commit_shard(out_dir, sid, shard, config, rows, 0,
+                        (time.perf_counter() - t0) * 1000.0)
+    return {
+        "out_dir": out_dir,
+        "committed": len(mf.load_committed(out_dir)),
+        "fingerprint": mf.manifest_fingerprint(out_dir),
+    }
+
+
+# ------------------------------------------------------- cross-series rollup
+
+_PARTIAL_SCHEMA = pa.schema(
+    [("source", pa.string()), ("tier", pa.string()), ("window_id", pa.int64())]
+    + [(f, pa.float64()) for f in sk.FIELDS]
+)
+
+
+def _partial_sketches(batch: pa.Table, tiers=("raw", "10x", "100x")) -> pa.Table:
+    """Combiner: per-batch partial sketches keyed by (source, tier,
+    window_id).  Output rows per batch are bounded by distinct keys, so the
+    downstream groupby shuffles tiny pre-aggregated rows, not raw windows —
+    the partial+final aggregation pattern that keeps the all-to-all cheap."""
+    from ts_pymfe_ray.functions.gapfill import gap_fill
+    from ts_pymfe_ray.stages.rollup import RAW_BUCKET, TIER_FACTORS, tokens_views
+
+    views, _, _ = tokens_views(batch)
+    sources = batch.column("source").to_pylist()
+    acc: dict[tuple, np.ndarray] = {}
+    for i, tok in enumerate(views):
+        x = gap_fill(tok)
+        raw = sk.compute_window_sketches(x, RAW_BUCKET)
+        per_tier = {"raw": raw}
+        per_tier["10x"] = sk.merge_adjacent(raw, 10)
+        per_tier["100x"] = sk.merge_adjacent(per_tier["10x"], 10)
+        for tier in tiers:
+            mat = per_tier[tier]
+            for w in range(mat.shape[0]):
+                key = (sources[i], tier, w)
+                if key in acc:
+                    a = acc[key]
+                    row = mat[w]
+                    merged = a.copy()
+                    for f in ("n", "s1", "s2", "s3", "s4", "c1"):
+                        merged[sk._I[f]] = a[sk._I[f]] + row[sk._I[f]]
+                    merged[sk._I["vmin"]] = min(a[sk._I["vmin"]], row[sk._I["vmin"]])
+                    merged[sk._I["vmax"]] = max(a[sk._I["vmax"]], row[sk._I["vmax"]])
+                    acc[key] = merged
+                else:
+                    acc[key] = mat[w].copy()
+    keys = list(acc.keys())
+    cols: dict[str, list] = {
+        "source": [k[0] for k in keys],
+        "tier": [k[1] for k in keys],
+        "window_id": [k[2] for k in keys],
+    }
+    mat = np.array([acc[k] for k in keys]) if keys else np.empty((0, sk.N_FIELDS))
+    for j, f in enumerate(sk.FIELDS):
+        cols[f] = mat[:, j] if len(keys) else []
+    return pa.table({n: pa.array(cols[n], _PARTIAL_SCHEMA.field(n).type) for n in _PARTIAL_SCHEMA.names})
+
+
+def _merge_group(group: pa.Table) -> pa.Table:
+    mat = np.column_stack([group.column(f).to_numpy() for f in sk.FIELDS])
+    merged = sk.merge_unordered(mat)
+    feats = sk.derive_features(merged[None, :])
+    out = {
+        "source": [group.column("source")[0].as_py()],
+        "tier": [group.column("tier")[0].as_py()],
+        "window_id": [group.column("window_id")[0].as_py()],
+        "n": [float(merged[sk._I["n"]])],
+    }
+    for name in ("mean", "var", "sd", "acf1", "skewness", "kurtosis", "vmin", "vmax"):
+        out[name] = [float(feats[name][0])]
+    return pa.table(out)
+
+
+def rollup_by_source(input_dir: str, tiers=("100x",)) -> ray.data.Dataset:
+    """Continuous aggregate across series: per (source, tier, window_id)
+    merged moment sketches -> mean/var/acf1/skew/kurt curves per source."""
+    ds = read_sequences(input_dir)
+    ds = ds.map_batches(split_long_rows, batch_format="pyarrow")
+    ds = ds.map_batches(
+        _partial_sketches, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"tiers": tuple(tiers)},
+    )
+    return ds.groupby(["source", "tier", "window_id"]).map_groups(
+        _merge_group, batch_format="pyarrow"
+    )
+
+
+def flagship(sf_dir_or_input: str, out_root: str = DEFAULT_OUT_ROOT) -> dict:
+    """End-to-end: synthesize-or-read sequences, run the rollup ladder and
+    the core feature pack."""
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    if os.path.isdir(sf_dir_or_input) and any(
+        f.startswith("sequences") or f.endswith(".parquet") for f in os.listdir(sf_dir_or_input)
+    ) and os.path.basename(os.path.normpath(sf_dir_or_input)).startswith("sequences"):
+        seq_dir = sf_dir_or_input
+    else:
+        seq_dir = ensure_sequences_for_dir(sf_dir_or_input)
+    tag = os.path.basename(os.path.normpath(seq_dir))
+    res_r = run_rollup(seq_dir, os.path.join(out_root, tag, "tiers"))
+    res_f = run_features(seq_dir, os.path.join(out_root, tag, "features"))
+    return {"rollup": res_r, "features": res_f, "sequences": seq_dir}

@@ -1,0 +1,199 @@
+"""Tier-ladder rollup stage: sequences -> per-(doc, tier) Gorilla-compressed
+window-aggregate rows.
+
+Design (SURVEY.md §1.2, §7.0): each input row is one series; windows are
+*within* the row, so the raw -> 10x -> 100x downsample ladder needs NO
+shuffle — raw-bucket sketches are computed once per row
+(compute_window_sketches) and merged upward exactly (merge_adjacent).  The
+output is one row per (doc, tier) whose per-window statistic streams
+(mean/var/acf1/...) are Gorilla-XOR-compressed binary columns, keeping
+output row count at 3x the doc count regardless of sequence length — at
+10^12 sequences this is what keeps tier storage and shuffle bytes bounded.
+
+Raw tier rows additionally carry the delta+zigzag-compressed original token
+array (``tokens_dod``): BASELINE.json's bitwise round-trip invariant.
+
+Stage contract: callable class for ``map_batches(RollupStage,
+batch_format="pyarrow", zero_copy_batch=True)``.  Token buffers are read
+zero-copy out of the Arrow list column; all math is numpy on those views.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ts_pymfe_ray.functions import gorilla
+from ts_pymfe_ray.functions import sketch as sk
+from ts_pymfe_ray.functions.gapfill import gap_fill
+from ts_pymfe_ray.synth import stable_hash64
+
+RAW_BUCKET = 64
+TIER_FACTORS = {"raw": 1, "10x": 10, "100x": 100}
+TIERS = ("raw", "10x", "100x")
+# Gorilla-compressed per-window statistic streams stored per tier row
+STREAMS = ("mean", "var", "acf1", "count", "vmin", "vmax")
+
+TIER_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("part_id", pa.int32()),
+        ("tier", pa.string()),
+        ("chunk_id", pa.int32()),
+        ("window_offset", pa.int64()),
+        ("bucket_size", pa.int32()),
+        ("n_windows", pa.int32()),
+        ("n_tok", pa.int64()),
+        ("n_gap", pa.int64()),
+    ]
+    + [(f"win_{s}", pa.binary()) for s in STREAMS]
+    + [
+        ("win_id_dod", pa.binary()),
+        ("tokens_dod", pa.binary()),
+    ]
+)
+
+
+def tokens_views(batch: pa.Table) -> tuple[list, np.ndarray, np.ndarray]:
+    """Zero-copy views of the list<int32> tokens column: (per-row views,
+    offsets, flat values)."""
+    col = batch.column("tokens")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.LargeListArray):
+        offsets = arr.offsets.to_numpy()
+    else:
+        offsets = arr.offsets.to_numpy()
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    views = [flat[offsets[i] : offsets[i + 1]] for i in range(len(arr))]
+    return views, offsets, flat
+
+
+def num_partitions_default() -> int:
+    return 64
+
+
+class RollupStage:
+    """Per-batch tier-ladder computation (stateless; used as a task)."""
+
+    def __init__(self, num_parts: int = 64, store_tokens: bool = True):
+        self.num_parts = num_parts
+        self.store_tokens = store_tokens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views, _, _ = tokens_views(batch)
+        doc_ids = batch.column("doc_id").to_pylist()
+        sources = batch.column("source").to_pylist()
+        chunk_ids = (
+            batch.column("chunk_id").to_numpy()
+            if "chunk_id" in batch.column_names
+            else np.zeros(len(views), dtype=np.int32)
+        )
+        window_offs = (
+            batch.column("window_offset").to_numpy()
+            if "window_offset" in batch.column_names
+            else np.zeros(len(views), dtype=np.int64)
+        )
+
+        cols: dict[str, list] = {name: [] for name in TIER_SCHEMA.names}
+        for i, tok in enumerate(views):
+            doc_id = doc_ids[i]
+            part_id = stable_hash64(doc_id) % self.num_parts
+            n_gap = int((tok == -1).sum())
+            x = gap_fill(tok)
+            sketches = sk.compute_window_sketches(x, RAW_BUCKET)
+            tier_sketches = {"raw": sketches}
+            tier_sketches["10x"] = sk.merge_adjacent(sketches, 10)
+            tier_sketches["100x"] = sk.merge_adjacent(tier_sketches["10x"], 10)
+            for tier in TIERS:
+                tsk = tier_sketches[tier]
+                feats = sk.derive_features(tsk)
+                nw = tsk.shape[0]
+                bucket = RAW_BUCKET * TIER_FACTORS[tier]
+                base_wid = int(window_offs[i]) // bucket
+                cols["doc_id"].append(doc_id)
+                cols["source"].append(sources[i])
+                cols["part_id"].append(part_id)
+                cols["tier"].append(tier)
+                cols["chunk_id"].append(int(chunk_ids[i]))
+                cols["window_offset"].append(int(window_offs[i]))
+                cols["bucket_size"].append(bucket)
+                cols["n_windows"].append(nw)
+                cols["n_tok"].append(int(tok.size))
+                cols["n_gap"].append(n_gap)
+                for s in STREAMS:
+                    cols[f"win_{s}"].append(gorilla.encode_floats_xor(feats[s]))
+                wids = base_wid + np.arange(nw, dtype=np.int64)
+                cols["win_id_dod"].append(gorilla.encode_ints_dod(wids, order=2))
+                if tier == "raw" and self.store_tokens:
+                    cols["tokens_dod"].append(
+                        gorilla.encode_ints_dod(tok.astype(np.int64), order=1)
+                    )
+                else:
+                    cols["tokens_dod"].append(None)
+        return pa.table(
+            {n: pa.array(cols[n], TIER_SCHEMA.field(n).type) for n in TIER_SCHEMA.names},
+            schema=TIER_SCHEMA,
+        )
+
+
+def split_long_rows(batch: pa.Table, max_chunk_tokens: int = 1_048_576) -> pa.Table:
+    """Hot-key splitting (SURVEY.md §4.2): rows longer than
+    ``max_chunk_tokens`` are exploded into chunk rows carrying
+    ``(chunk_id, window_offset)``.  Chunk boundaries are aligned to the
+    coarsest tier bucket, so every window of every tier lies wholly inside
+    one chunk and rollup sketches stay exact under the split; decode-side
+    consumers reassemble streams by (doc_id, chunk_id) order.  Gap runs that
+    cross a chunk boundary are filled per-chunk (LOCF/NOCB at the cut) — a
+    documented, bounded deviation from whole-row linear interpolation.
+    Short batches pass through untouched."""
+    align = RAW_BUCKET * TIER_FACTORS["100x"]
+    max_chunk = max(align, (max_chunk_tokens // align) * align)
+    n_tok = batch.column("n_tok").to_numpy()
+    if not (n_tok > max_chunk).any():
+        if "chunk_id" in batch.column_names:
+            return batch
+        z32 = pa.array(np.zeros(len(batch), dtype=np.int32))
+        z64 = pa.array(np.zeros(len(batch), dtype=np.int64))
+        return batch.append_column("chunk_id", z32).append_column("window_offset", z64)
+
+    views, _, _ = tokens_views(batch)
+    doc_ids = batch.column("doc_id").to_pylist()
+    sources = batch.column("source").to_pylist()
+    out = {"doc_id": [], "tokens": [], "n_tok": [], "source": [], "chunk_id": [], "window_offset": []}
+    for i, tok in enumerate(views):
+        if tok.size <= max_chunk:
+            out["doc_id"].append(doc_ids[i])
+            out["tokens"].append(tok)
+            out["n_tok"].append(tok.size)
+            out["source"].append(sources[i])
+            out["chunk_id"].append(0)
+            out["window_offset"].append(0)
+            continue
+        for ci, start in enumerate(range(0, tok.size, max_chunk)):
+            chunk = tok[start : start + max_chunk]
+            out["doc_id"].append(doc_ids[i])
+            out["tokens"].append(chunk)
+            out["n_tok"].append(chunk.size)
+            out["source"].append(sources[i])
+            out["chunk_id"].append(ci)
+            out["window_offset"].append(start)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "tokens": pa.array(out["tokens"], pa.list_(pa.int32())),
+            "n_tok": pa.array(out["n_tok"], pa.int32()),
+            "source": pa.array(out["source"], pa.string()),
+            "chunk_id": pa.array(out["chunk_id"], pa.int32()),
+            "window_offset": pa.array(out["window_offset"], pa.int64()),
+        }
+    )
+
+
+def decode_tier_row(row: dict) -> dict[str, np.ndarray]:
+    """Decode one tier row's compressed streams back to numpy arrays."""
+    out = {s: gorilla.decode_floats_xor(row[f"win_{s}"]) for s in STREAMS}
+    out["window_id"] = gorilla.decode_ints_dod(row["win_id_dod"])
+    if row.get("tokens_dod") is not None:
+        out["tokens"] = gorilla.decode_ints_dod(row["tokens_dod"])
+    return out
