@@ -1,44 +1,240 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray Data engine (ts_pymfe_ray).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initializes Ray BEFORE importing this module; nothing here (or
+in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship tier-ladder rollup on a deterministic sequences table
+  at sf0.001 scale (BASELINE.json input_hint shape), returning the tier
+  rows as a pandas DataFrame (without binary blobs, for schema stability).
+- queries(): one callable per implemented operator/pipeline (SURVEY.md §2
+  plus the training-data operator pack).
+- oracle_sql(): DuckDB twins for the SQL-expressible queries, column names
+  matched exactly; non-SQL-expressible ops (tier rollups, feature kernels,
+  MinHash/SimHash dedup, ANN, multimodal) are rows-only checks backed by
+  the pytest conformance suite.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_OUT_ROOT = "/tmp/ts_pymfe_ray_entry"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow.dataset as pads
+
+    from ts_pymfe_ray.pipelines import flagship
+    from ts_pymfe_ray.synth import ensure_sequences
+
+    seq_dir = ensure_sequences(0.001)
+    out = os.path.join(_OUT_ROOT, "tiers_sf0.001")
+    flagship.run_rollup(seq_dir, out, num_shards=4)
+    ds = pads.dataset(out, format="parquet", ignore_prefixes=[".", "_", "manifest"])
+    cols = [
+        "doc_id", "source", "part_id", "tier", "chunk_id", "bucket_size",
+        "n_windows", "n_tok", "n_gap",
+    ]
+    return ds.to_table(columns=cols).to_pandas()
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_seq_tier_rollup(sf_dir: str):
+    """Rows-only: tier-ladder rollup over the synthesized sequences table
+    at the matching scale; returns per-(source, tier) aggregate stats."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from ts_pymfe_ray.pipelines import flagship
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    tag = os.path.basename(os.path.normpath(seq_dir))
+    out = os.path.join(_OUT_ROOT, f"tiers_{tag}")
+    flagship.run_rollup(seq_dir, out, num_shards=8)
+    ds = pads.dataset(out, format="parquet", ignore_prefixes=[".", "_", "manifest"])
+    tbl = ds.to_table(columns=["source", "tier", "n_windows", "n_tok", "n_gap"]).to_pandas()
+    g = tbl.groupby(["source", "tier"]).agg(
+        n_rows=("n_windows", "size"),
+        total_windows=("n_windows", "sum"),
+        total_tokens=("n_tok", "sum"),
+        total_gaps=("n_gap", "sum"),
+    ).reset_index()
+    for c in ("n_rows", "total_windows", "total_tokens", "total_gaps"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values(["source", "tier"]).reset_index(drop=True)
+
+
+def _q_seq_features(sf_dir: str):
+    """Rows-only: per-series ts-pymfe feature extraction (cheap pack) over
+    the synthesized sequences; per-source feature averages."""
+    import pyarrow.dataset as pads
+
+    from ts_pymfe_ray.pipelines import flagship
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    tag = os.path.basename(os.path.normpath(seq_dir))
+    out = os.path.join(_OUT_ROOT, f"features_{tag}")
+    flagship.run_features(
+        seq_dir, out, groups=("general", "global_stats", "autocorr"),
+        max_cost="medium", num_shards=4,
+    )
+    ds = pads.dataset(out, format="parquet", ignore_prefixes=[".", "_", "manifest"])
+    df = ds.to_table().to_pandas()
+    num_cols = [c for c in df.columns if c not in ("doc_id", "source", "part_id")]
+    g = df.groupby("source")[num_cols].mean().round(6).reset_index()
+    return g.sort_values("source").reset_index(drop=True)
+
+
+def _q_seq_source_rollup(sf_dir: str):
+    """Rows-only: cross-series continuous aggregate (groupby-merge of
+    moment sketches per (source, tier, window_id))."""
+    from ts_pymfe_ray.pipelines import flagship
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    df = flagship.rollup_by_source(seq_dir, tiers=("100x",)).to_pandas()
+    for c in ("mean", "var", "sd", "acf1", "skewness", "kurtosis", "vmin", "vmax"):
+        df[c] = df[c].round(6)
+    return df.sort_values(["source", "tier", "window_id"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ts_pymfe_ray.pipelines import queries as q
+    from ts_pymfe_ray.pipelines import textops as t
+    from ts_pymfe_ray.stages.multimodal import q_multimodal_decode
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled relational/windowed aggregates
+        "events_window_rollup": q.q_events_window_rollup,
+        "events_user_topk": q.q_events_user_topk,
+        "events_acf1": q.q_events_acf1,
+        "lineitem_pricing": q.q_lineitem_pricing,
+        "orders_by_mktsegment": q.q_orders_by_mktsegment,
+        "documents_stats": q.q_documents_stats,
+        "documents_token_count": q.q_documents_token_count,
+        "dedup_exact": q.q_dedup_exact,
+        "embeddings_knn": q.q_embeddings_knn,
+        "text_quality": t.q_text_quality,
+        # rows-only: non-SQL-expressible operators
+        "doc_fingerprints": t.q_doc_fingerprints,
+        "text_quality_full": t.q_text_quality_full,
+        "seq_tier_rollup": _q_seq_tier_rollup,
+        "seq_features": _q_seq_features,
+        "seq_source_rollup": _q_seq_source_rollup,
+        "dedup_minhash": t.q_dedup_minhash,
+        "dedup_simhash": t.q_dedup_simhash,
+        "dedup_ngram_jaccard": t.q_dedup_ngram_jaccard,
+        "embeddings_neardup": t.q_embeddings_neardup,
+        "lang_id": t.q_lang_id,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "events_window_rollup": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   COUNT(*) AS value_count,
+                   ROUND(SUM(value), 6) AS value_sum,
+                   ROUND(AVG(value), 6) AS value_mean,
+                   ROUND(MIN(value), 6) AS value_min,
+                   ROUND(MAX(value), 6) AS value_max
+            FROM events
+            GROUP BY event_type, hour_bucket
+            ORDER BY event_type, hour_bucket
+        """,
+        "events_user_topk": """
+            SELECT user_id, COUNT(*) AS num_events
+            FROM events
+            GROUP BY user_id
+            ORDER BY num_events DESC, user_id
+            LIMIT 10
+        """,
+        "events_acf1": """
+            WITH lagged AS (
+                SELECT event_type, value,
+                       LAG(value) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            SELECT event_type,
+                   ROUND(corr(value, prev), 6) AS acf1,
+                   COUNT(*) AS n
+            FROM lagged
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_by_mktsegment": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 6) AS revenue,
+                   COUNT(*) AS num_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "documents_stats": """
+            SELECT source,
+                   COUNT(*) AS n_chars_count,
+                   ROUND(SUM(n_chars), 6) AS n_chars_sum,
+                   ROUND(AVG(n_chars), 6) AS n_chars_mean,
+                   ROUND(MIN(n_chars), 6) AS n_chars_min,
+                   ROUND(MAX(n_chars), 6) AS n_chars_max
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+        "documents_token_count": """
+            SELECT lang,
+                   SUM(len(string_split(text, ' '))) AS total_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "dedup_exact": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text) AS uniq_docs
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+        "embeddings_knn": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                   ), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 5
+        """,
+        "text_quality": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' '))) AS sum_words,
+                   ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 6) AS avg_words
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+    }

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "throughput": {...}}
+
+--scaling: runs the flagship rollup twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus efficiency = (T8/T32)/(32/8) — the sandbox stand-in for the north
+rule's N vs 4N cluster criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_OUT = "/tmp/ts_pymfe_ray_bench"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _seq_stats(seq_dir: str) -> tuple[int, int]:
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(seq_dir, format="parquet", ignore_prefixes=[".", "_", "manifest"])
+    rows = 0
+    toks = 0
+    for b in ds.to_batches(columns=["n_tok"]):
+        rows += b.num_rows
+        toks += int(b.column(0).to_numpy().sum())
+    return rows, toks
+
+
+def run_rollup_bench(seq_dir: str, tag: str) -> dict:
+    from ts_pymfe_ray.pipelines import flagship
+
+    out = os.path.join(BENCH_OUT, f"tiers_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    flagship.run_rollup(seq_dir, out, num_shards=8)
+    return {"sec": time.perf_counter() - t0, "out": out}
+
+
+def run_features_bench(seq_dir: str, tag: str, max_cost: str = "cheap") -> dict:
+    from ts_pymfe_ray.pipelines import flagship
+
+    out = os.path.join(BENCH_OUT, f"features_{tag}_{max_cost}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    flagship.run_features(seq_dir, out, max_cost=max_cost, num_shards=8, batch_size=64)
+    return {"sec": time.perf_counter() - t0, "out": out}
+
+
+def run_source_rollup_bench(seq_dir: str) -> dict:
+    from ts_pymfe_ray.pipelines import flagship
+
+    t0 = time.perf_counter()
+    n = flagship.rollup_by_source(seq_dir, tiers=("100x",)).count()
+    return {"sec": time.perf_counter() - t0, "rows": n}
+
+
+def single_run(sf_dir: str, num_cpus: int, jobs: list[str]) -> dict:
+    _init_ray(num_cpus)
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    seq_dir = ensure_sequences_for_dir(sf_dir)  # cached; excluded from timing
+    rows, toks = _seq_stats(seq_dir)
+    tag = f"sf{sf:g}_c{num_cpus}"
+
+    queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+    if "rollup" in jobs:
+        r = run_rollup_bench(seq_dir, tag)
+        queries["rollup_ladder"] = round(r["sec"], 3)
+        throughput["rollup_seqs_per_sec"] = round(rows / r["sec"], 1)
+        throughput["rollup_tokens_per_sec"] = round(toks / r["sec"], 1)
+    if "features" in jobs:
+        r = run_features_bench(seq_dir, tag, max_cost="cheap")
+        queries["features_cheap"] = round(r["sec"], 3)
+        throughput["features_seqs_per_sec"] = round(rows / r["sec"], 1)
+    if "source_rollup" in jobs:
+        r = run_source_rollup_bench(seq_dir)
+        queries["source_rollup_100x"] = round(r["sec"], 3)
+    if "events" in jobs and os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        from ts_pymfe_ray.pipelines.queries import q_events_window_rollup
+
+        t0 = time.perf_counter()
+        q_events_window_rollup(sf_dir)
+        queries["events_window_rollup"] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows": rows,
+        "tokens": toks,
+        "queries": queries,
+        "throughput": throughput,
+    }
+
+
+def scaling_run(sf_dir: str, cpus_small: int = 8, cpus_big: int = 32) -> dict:
+    """Same job, two fresh processes at two parallelism levels."""
+    # warm the sequences cache once so neither run pays synthesis
+    _init_ray(cpus_big)
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    ensure_sequences_for_dir(sf_dir)
+    import ray
+
+    ray.shutdown()
+
+    results = {}
+    for cpus in (cpus_small, cpus_big):
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--single-run", "--jobs", "rollup", "--cpus", str(cpus), "--sf-dir", sf_dir,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    th_s = results[cpus_small]["throughput"]["rollup_tokens_per_sec"]
+    th_b = results[cpus_big]["throughput"]["rollup_tokens_per_sec"]
+    eff = (th_b / th_s) / (cpus_big / cpus_small)
+    return {
+        "cpus_small": cpus_small,
+        "cpus_big": cpus_big,
+        "tokens_per_sec_small": th_s,
+        "tokens_per_sec_big": th_b,
+        "speedup": round(th_b / th_s, 3),
+        "scaling_efficiency": round(eff, 3),
+        "runs": results,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--jobs", default="rollup,features,source_rollup,events")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-run", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        res = scaling_run(args.sf_dir)
+        print(json.dumps({"metric": "scaling_efficiency", "value": res["scaling_efficiency"],
+                          "unit": "ratio", **res}))
+        return
+
+    res = single_run(args.sf_dir, args.cpus, args.jobs.split(","))
+    total = round(sum(res["queries"].values()), 3)
+    out = {
+        "metric": "tier_rollup_and_feature_pipeline_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": res["sf"],
+        "num_cpus": res["num_cpus"],
+        "rows": res["rows"],
+        "tokens": res["tokens"],
+        "throughput": res["throughput"],
+    }
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

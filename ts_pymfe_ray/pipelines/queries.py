@@ -1,0 +1,251 @@
+"""Driver-oracle query pipelines over the TPC-H-ish test tables.
+
+Every query here has a DuckDB-checkable ANSI-SQL twin (__ray_entry__'s
+oracle_sql); column names match exactly.  Aggregates follow the engine's
+scale rules: combiner-style partial aggregation inside map_batches, one
+small groupby over pre-aggregated rows, broadcast lookups for small join
+sides, column-pruned reads.  Float aggregates are rounded (ROUND6) on both
+sides so the driver's value-hash is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+ROUND = 6
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def grouped_stats(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    out_prefix: str | None = None,
+) -> pd.DataFrame:
+    """Partial+final grouped (count, sum, min, max, mean): combiner inside
+    map_batches, then a pandas merge of the (tiny) partial rows."""
+    pref = out_prefix or value_col
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys, observed=True)[value_col].agg(["count", "sum", "min", "max"])
+        g = g.reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(keys).agg(
+        cnt=("count", "sum"), s=("sum", "sum"), mn=("min", "min"), mx=("max", "max")
+    ).reset_index()
+    out = g[keys].copy()
+    out[f"{pref}_count"] = g["cnt"].astype("int64")
+    out[f"{pref}_sum"] = (g["s"]).round(ROUND)
+    out[f"{pref}_mean"] = (g["s"] / g["cnt"]).round(ROUND)
+    out[f"{pref}_min"] = g["mn"].round(ROUND)
+    out[f"{pref}_max"] = g["mx"].round(ROUND)
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_events_window_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hourly windowed aggregate per event_type over the events stream —
+    the SQL-checkable twin of the engine's window rollups."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # microseconds
+        bucket = ts // (3600 * 1_000_000)
+        return batch.append_column("hour_bucket", pa.array(bucket, pa.int64()))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return grouped_stats(ds, ["event_type", "hour_bucket"], "value")
+
+
+def q_events_user_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k users by event count (partial counts -> merge -> top-k)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("user_id").to_numpy(), return_counts=True)
+        return pa.table({"user_id": u, "c": c})
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("user_id")["c"].sum().reset_index(name="num_events")
+    g = g.sort_values(["num_events", "user_id"], ascending=[False, True]).head(k)
+    g["num_events"] = g["num_events"].astype("int64")
+    return g.reset_index(drop=True)
+
+
+def q_events_acf1(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation (Pearson r of value vs previous value in time
+    order) per event_type — the ACF operator in SQL-checkable form."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        v = df["value"].to_numpy()
+        if v.size < 3:
+            r = np.nan
+        else:
+            r = float(np.corrcoef(v[:-1], v[1:])[0, 1])
+        return pd.DataFrame(
+            {"event_type": [df["event_type"].iloc[0]], "acf1": [round(r, ROUND)],
+             "n": [np.int64(v.size)]}
+        )
+
+    out = ds.groupby("event_type").map_groups(per_group, batch_format="pandas").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary (grouped mergeable aggregates)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"]).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            cnt=("l_quantity", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_base_price=("sum_base_price", "sum"),
+        sum_disc_price=("sum_disc_price", "sum"),
+        cnt=("cnt", "sum"),
+    ).reset_index()
+    g["avg_qty"] = (g["sum_qty"] / g["cnt"]).round(ROUND)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        g[c] = g[c].round(ROUND)
+    g["cnt"] = g["cnt"].astype("int64")
+    return g.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_orders_by_mktsegment(sf_dir: str) -> pd.DataFrame:
+    """orders x customer broadcast join: the small side is read once on
+    the driver and shipped as a lookup dict inside the map (no shuffle
+    join — SURVEY.md §2.13)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def joiner(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").to_numpy()
+        seg = np.array([lookup.get(k, "UNKNOWN") for k in keys])
+        df = pd.DataFrame({"c_mktsegment": seg, "o_totalprice": batch.column("o_totalprice").to_numpy()})
+        g = df.groupby("c_mktsegment").agg(
+            revenue=("o_totalprice", "sum"), num_orders=("o_totalprice", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(joiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("c_mktsegment").agg(
+        revenue=("revenue", "sum"), num_orders=("num_orders", "sum")
+    ).reset_index()
+    g["revenue"] = g["revenue"].round(ROUND)
+    g["num_orders"] = g["num_orders"].astype("int64")
+    return g.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_documents_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return grouped_stats(ds, ["source"], "n_chars")
+
+
+def q_documents_token_count(sf_dir: str) -> pd.DataFrame:
+    """Whitespace token counting per doc -> per-lang totals.  Token
+    semantics = split on single space, matching SQL string_split."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        ntok = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        df = pd.DataFrame({"lang": langs, "ntok": ntok})
+        g = df.groupby("lang").agg(total_tokens=("ntok", "sum"), n_docs=("ntok", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("lang").agg(
+        total_tokens=("total_tokens", "sum"), n_docs=("n_docs", "sum")
+    ).reset_index()
+    g["total_tokens"] = g["total_tokens"].astype("int64")
+    g["n_docs"] = g["n_docs"].astype("int64")
+    return g.sort_values("lang").reset_index(drop=True)
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: per source, rows vs distinct texts (hash-partitioned
+    first-wins semantics; here reported as counts so SQL can verify)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        src = batch.column("source").to_pylist()
+        txt = batch.column("text").to_pylist()
+        h = [hashlib.blake2b(t.encode(), digest_size=8).hexdigest() for t in txt]
+        return pa.table({"source": src, "h": h})
+
+    hashed = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = hashed.groupby("source")["h"].agg(n_docs="size", uniq_docs="nunique").reset_index()
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["uniq_docs"] = g["uniq_docs"].astype("int64")
+    return g.sort_values("source").reset_index(drop=True)
+
+
+def q_embeddings_knn(sf_dir: str, k: int = 5, query_vec_id: int = 0) -> pd.DataFrame:
+    """Brute-force cosine top-k against a broadcast query vector: numpy
+    matmul per batch, per-batch partial top-k, tiny final merge.  The
+    scale path swaps the per-batch scan for an LSH/IVF bucket probe
+    (q_embeddings_neardup uses the banding variant)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_ids = emb.column("vec_id").to_numpy()
+    qrow = np.flatnonzero(vec_ids == query_vec_id)[0]
+    q = np.array(emb.column("embedding").to_pylist()[qrow], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qn) / norms
+        top = np.argsort(-sims)[:k]
+        return pa.table({"vec_id": ids[top], "cosine": sims[top]})
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    partials["cosine"] = partials["cosine"].round(ROUND)
+    out = partials.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)

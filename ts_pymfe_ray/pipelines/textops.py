@@ -1,0 +1,451 @@
+"""Training-data operators over the documents/embeddings tables:
+deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+embedding-cosine), text analysis (language-ID, quality scoring, token
+counting, fingerprinting) and the multimodal decode stub plumbing.
+
+Scale shape: every operator is (1) a vectorized/per-batch map computing
+compact signatures, (2) a groupby on signature buckets (LSH bands /
+simhash segments) so candidate generation shuffles only small signature
+rows, (3) an in-group verification.  No stage materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+NUM_PERM = 64
+BANDS = 16  # 16 bands x 4 rows
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+# 31-bit Mersenne prime: products a*x fit exactly in uint64, so the
+# MinHash permutation (a*x + b) mod p vectorizes with no overflow.
+_MERSENNE = (1 << 31) - 1
+
+
+def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns or ["doc_id", "text"]
+    )
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingle hashes (deterministic)."""
+    words = text.split(" ")
+    if len(words) < k:
+        return np.array([_hash64(text)], dtype=np.uint64)
+    return np.array(
+        [_hash64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)],
+        dtype=np.uint64,
+    )
+
+
+# deterministic MinHash permutation parameters (a*x + b mod p)
+_rng = np.random.Generator(np.random.PCG64(20240817))
+_A = _rng.integers(1, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+_B = _rng.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+
+
+def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
+    """(NUM_PERM,) minhash signature — one vectorized (perm x shingle)
+    modmul, exact in uint64 thanks to the 31-bit modulus."""
+    x = (shingle_hashes % np.uint64(_MERSENNE)).astype(np.uint64)
+    vals = (_A[:, None] * x[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def band_keys(sig: np.ndarray) -> list[int]:
+    """LSH band bucket keys: hash of each band's rows."""
+    keys = []
+    for b in range(BANDS):
+        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        h = hashlib.blake2b(chunk.tobytes() + bytes([b]), digest_size=8).digest()
+        keys.append(int.from_bytes(h, "little") >> 1)  # fit int64
+    return keys
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    sa, sb = set(a.tolist()), set(b.tolist())
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """MinHash+LSH near-duplicate pairs: shingle -> minhash -> band ->
+    bucket groupby -> verified n-gram Jaccard >= threshold."""
+    ds = _read_docs(sf_dir)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = {"band_key": [], "doc_id": [], "sig": []}
+        for i, t in enumerate(texts):
+            sh = _shingles(t)
+            sig = minhash_signature(sh)
+            for key in band_keys(sig):
+                rows["band_key"].append(key)
+                rows["doc_id"].append(ids[i])
+                rows["sig"].append(sig.tobytes())
+        return pa.table(
+            {
+                "band_key": pa.array(rows["band_key"], pa.int64()),
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "sig": pa.array(rows["sig"], pa.binary()),
+            }
+        )
+
+    def candidates(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        sigs = group.column("sig").to_pylist()
+        out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
+        if len(ids) > 1:
+            uniq: dict[int, bytes] = {}
+            for i, s in zip(ids, sigs):
+                uniq[i] = s
+            items = sorted(uniq.items())
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    sa = np.frombuffer(items[i][1], dtype=np.uint64)
+                    sb = np.frombuffer(items[j][1], dtype=np.uint64)
+                    est = float((sa == sb).mean())
+                    if est >= threshold:
+                        out["doc_a"].append(items[i][0])
+                        out["doc_b"].append(items[j][0])
+                        out["est_jaccard"].append(round(est, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(out["doc_a"], pa.int64()),
+                "doc_b": pa.array(out["doc_b"], pa.int64()),
+                "est_jaccard": pa.array(out["est_jaccard"], pa.float64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(candidates, batch_format="pyarrow")
+        .to_pandas()
+    )
+    pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    return pairs.reset_index(drop=True)
+
+
+def simhash64(text: str) -> np.uint64:
+    words = text.split(" ")
+    if not words:
+        return np.uint64(0)
+    hashes = np.array([_hash64(w) for w in words], dtype=np.uint64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    score = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for b in np.flatnonzero(score > 0):
+        out |= np.uint64(1) << np.uint64(b)
+    return out
+
+
+def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs via 4-segment LSH (any pair within hamming
+    distance 3 shares at least one exact 16-bit segment)."""
+    ds = _read_docs(sf_dir)
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = {"seg_key": [], "doc_id": [], "sim": []}
+        for i, t in enumerate(texts):
+            h = simhash64(t)
+            for s in range(4):
+                seg = int((h >> np.uint64(16 * s)) & np.uint64(0xFFFF))
+                rows["seg_key"].append((seg << 2) | s)
+                rows["doc_id"].append(ids[i])
+                rows["sim"].append(int(h))
+        return pa.table(
+            {
+                "seg_key": pa.array(rows["seg_key"], pa.int64()),
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "sim": pa.array(rows["sim"], pa.uint64()),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        sims = group.column("sim").to_pylist()
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        uniq = sorted(set(zip(ids, sims)))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                if uniq[i][0] == uniq[j][0]:
+                    continue
+                ham = bin(uniq[i][1] ^ uniq[j][1]).count("1")
+                if ham <= max_hamming:
+                    out["doc_a"].append(uniq[i][0])
+                    out["doc_b"].append(uniq[j][0])
+                    out["hamming"].append(ham)
+        return pa.table(
+            {
+                "doc_a": pa.array(out["doc_a"], pa.int64()),
+                "doc_b": pa.array(out["doc_b"], pa.int64()),
+                "hamming": pa.array(out["hamming"], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(to_segments, batch_format="pyarrow")
+        .groupby("seg_key")
+        .map_groups(verify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(pairs):
+        pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    return pairs.reset_index(drop=True)
+
+
+def q_dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5, sample: int = 512) -> pd.DataFrame:
+    """Exact n-gram Jaccard over MinHash-LSH candidates (the verify pass of
+    q_dedup_minhash but reporting true Jaccard).  ``sample`` caps the
+    verification fan-in per run for bounded cost."""
+    cand = q_dedup_minhash(sf_dir, threshold=0.5).head(sample)
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    import pyarrow.parquet as pq
+
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    txt = {i: t for i, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()) if i in need}
+    rows = []
+    for _, r in cand.iterrows():
+        j = jaccard(_shingles(txt[r["doc_a"]]), _shingles(txt[r["doc_b"]]))
+        if j >= threshold:
+            rows.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard": round(j, 6)})
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+    """Embedding-cosine near-duplicates via random-hyperplane LSH banding:
+    signature map -> bucket groupby -> in-bucket exact cosine verify."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    probe = next(iter(ds.limit(1).iter_batches(batch_format="pyarrow")))
+    dim = len(probe.column("embedding").to_pylist()[0])
+    rng = np.random.Generator(np.random.PCG64(7))
+    planes = rng.normal(size=(16, dim))  # 16-bit signatures, 4 segments
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        signs = (mat @ planes.T) > 0
+        sig = (signs.astype(np.uint32) << np.arange(16, dtype=np.uint32)).sum(axis=1)
+        rows = {"bucket": [], "vec_id": [], "emb": []}
+        for s in range(4):
+            seg = (sig >> (4 * s)) & 0xF
+            for i in range(len(ids)):
+                rows["bucket"].append(int((int(seg[i]) << 3) | s))
+                rows["vec_id"].append(int(ids[i]))
+                rows["emb"].append(mat[i].tobytes())
+        return pa.table(
+            {
+                "bucket": pa.array(rows["bucket"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "emb": pa.array(rows["emb"], pa.binary()),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_pylist()
+        embs = group.column("emb").to_pylist()
+        uniq: dict[int, bytes] = dict(zip(ids, embs))
+        items = sorted(uniq.items())
+        out = {"vec_a": [], "vec_b": [], "cosine": []}
+        if len(items) > 1:
+            mat = np.stack([np.frombuffer(b, dtype=np.float64) for _, b in items])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            matn = mat / norms[:, None]
+            sims = matn @ matn.T
+            ii, jj = np.triu_indices(len(items), k=1)
+            keep = sims[ii, jj] >= threshold
+            for a, b, s in zip(ii[keep], jj[keep], sims[ii, jj][keep]):
+                out["vec_a"].append(items[a][0])
+                out["vec_b"].append(items[b][0])
+                out["cosine"].append(round(float(s), 6))
+        return pa.table(
+            {
+                "vec_a": pa.array(out["vec_a"], pa.int64()),
+                "vec_b": pa.array(out["vec_b"], pa.int64()),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(pairs):
+        pairs = pairs.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
+    return pairs.reset_index(drop=True)
+
+
+# ------------------------------------------------------------- text analysis
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is it for on with as by at from that this be are was".split()
+)
+
+
+def text_quality_features(texts: list[str]) -> pd.DataFrame:
+    n_words, n_chars, stop_ratio, punct_ratio, mean_wlen = [], [], [], [], []
+    for t in texts:
+        words = t.split(" ")
+        n_words.append(len(words))
+        n_chars.append(len(t))
+        stop_ratio.append(sum(w in _STOPWORDS for w in words) / max(1, len(words)))
+        punct_ratio.append(sum(ch in ".,;:!?" for ch in t) / max(1, len(t)))
+        mean_wlen.append(np.mean([len(w) for w in words]) if words else 0.0)
+    return pd.DataFrame(
+        {
+            "n_words": np.array(n_words, dtype=np.int64),
+            "n_chars": np.array(n_chars, dtype=np.int64),
+            "stopword_ratio": stop_ratio,
+            "punct_ratio": punct_ratio,
+            "mean_word_len": mean_wlen,
+        }
+    )
+
+
+def q_text_quality(sf_dir: str) -> pd.DataFrame:
+    """Per-source quality scoring rollup (length / punctuation / stopword
+    signals), partial-aggregated per batch."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        q = text_quality_features(batch.column("text").to_pylist())
+        q["source"] = src
+        g = q.groupby("source").agg(
+            n_docs=("n_words", "size"),
+            sum_words=("n_words", "sum"),
+            sum_stop=("stopword_ratio", "sum"),
+            sum_wlen=("mean_word_len", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("source").agg(
+        n_docs=("n_docs", "sum"), sum_words=("sum_words", "sum"),
+        sum_stop=("sum_stop", "sum"), sum_wlen=("sum_wlen", "sum"),
+    ).reset_index()
+    g["avg_words"] = (g["sum_words"] / g["n_docs"]).round(6)
+    g["avg_stopword_ratio"] = (g["sum_stop"] / g["n_docs"]).round(6)
+    g["avg_word_len"] = (g["sum_wlen"] / g["n_docs"]).round(6)
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["sum_words"] = g["sum_words"].astype("int64")
+    # SQL-oracled subset: the stopword/word-length signals have no clean
+    # ANSI-SQL twin and live in q_text_quality_full (rows-only).
+    out = g[["source", "n_docs", "sum_words", "avg_words"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_text_quality_full(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: full quality-signal rollup including stopword ratio and
+    mean word length."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        q = text_quality_features(batch.column("text").to_pylist())
+        q["source"] = src
+        g = q.groupby("source").agg(
+            n_docs=("n_words", "size"),
+            sum_words=("n_words", "sum"),
+            sum_stop=("stopword_ratio", "sum"),
+            sum_punct=("punct_ratio", "sum"),
+            sum_wlen=("mean_word_len", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("source").agg(
+        n_docs=("n_docs", "sum"), sum_words=("sum_words", "sum"),
+        sum_stop=("sum_stop", "sum"), sum_punct=("sum_punct", "sum"),
+        sum_wlen=("sum_wlen", "sum"),
+    ).reset_index()
+    g["avg_words"] = (g["sum_words"] / g["n_docs"]).round(6)
+    g["avg_stopword_ratio"] = (g["sum_stop"] / g["n_docs"]).round(6)
+    g["avg_punct_ratio"] = (g["sum_punct"] / g["n_docs"]).round(6)
+    g["avg_word_len"] = (g["sum_wlen"] / g["n_docs"]).round(6)
+    g["n_docs"] = g["n_docs"].astype("int64")
+    out = g[["source", "n_docs", "avg_words", "avg_stopword_ratio", "avg_punct_ratio", "avg_word_len"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def detect_lang(text: str) -> str:
+    """N-gram/stopword language-ID heuristic (en vs unknown; extensible
+    profile table)."""
+    words = text.lower().split(" ")
+    if not words:
+        return "unknown"
+    ratio = sum(w in _STOPWORDS for w in words) / len(words)
+    ascii_ratio = sum(c.isascii() for c in text) / max(1, len(text))
+    if ascii_ratio > 0.97 and (ratio > 0.03 or len(words) < 5):
+        return "en"
+    return "unknown"
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        pred = [detect_lang(t) for t in texts]
+        df = pd.DataFrame({"lang": langs, "pred_lang": pred})
+        g = df.groupby(["lang", "pred_lang"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["lang", "pred_lang"])["n"].sum().reset_index(name="n_docs")
+    g["n_docs"] = g["n_docs"].astype("int64")
+    return g.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Rabin-Karp-style rolling-hash document fingerprint: min hash over
+    rolling word windows (winnowing-lite)."""
+    words = text.split(" ")
+    if len(words) <= window:
+        return _hash64(text)
+    hs = [_hash64(" ".join(words[i : i + window])) for i in range(len(words) - window + 1)]
+    return min(hs)
+
+
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        fps = [rolling_fingerprint(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"source": src, "fp": pa.array(fps, pa.uint64())})
+
+    fps = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = fps.groupby("source")["fp"].agg(n_docs="size", uniq_fingerprints="nunique").reset_index()
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["uniq_fingerprints"] = g["uniq_fingerprints"].astype("int64")
+    return g.sort_values("source").reset_index(drop=True)
