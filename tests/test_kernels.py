@@ -128,8 +128,17 @@ def test_gap_fill_policies():
 def test_all_registered_kernels_run_clean(seasonal_ctx):
     ks = kernels_of()
     out = evaluate_row(seasonal_ctx.ts_all, "doc-web-00000001", ks)
-    bad = [k for k, v in out.items() if not np.isfinite(v)]
+    # NaNs that are CORRECT reference semantics on this series:
+    # - gmean of z-scored windows (negatives -> NaN, like scipy.stats.gmean)
+    # - avg_cycle_period when the AR(2) fit has no complex roots
+    allowed = {
+        "moving_gmean.mean", "moving_gmean.sd",
+        "moving_gmean_shift.mean", "moving_gmean_shift.sd",
+        "avg_cycle_period",
+    }
+    bad = [k for k, v in out.items() if not np.isfinite(v) and k not in allowed]
     assert bad == [], f"kernels returned NaN on a benign series: {bad}"
+    assert len(out) >= 230  # 149 kernels -> wide summarized schema
 
 
 def test_nan_on_error_policy():

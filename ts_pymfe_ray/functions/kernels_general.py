@@ -289,3 +289,142 @@ def _emb_lag(c: SeriesCtx, max_nlags: int | None = None) -> float:
 
 register(FeatureKernel("emb_lag", "general", _emb_lag, cost="medium",
                        ref="general.py:1528, _embed.py:346-455"))
+
+
+# ---------------------------------------------------- embedding-dimension pack
+
+_CAO_CAP = 256  # O(m^2 d) NN searches; reference warns about cost too
+
+
+def _cao_curves(c: SeriesCtx, dims: int = 16):
+    """Cao's E1/E2 curves (reference _embed.py:229-343), cached per row."""
+
+    def _build():
+        from ts_pymfe_ray.functions.embed import embed_ts, nn_inds_dists
+        from ts_pymfe_ray.functions.kernels_autocorr import embed_lag
+
+        s = c.ts_scaled[-_CAO_CAP:]
+        lag = embed_lag(c)
+        ed = np.full(dims, np.nan)
+        ed_star = np.full(dims, np.nan)
+        for ind, dim in enumerate(range(1, dims + 1)):
+            try:
+                emb_next = embed_ts(s, dim=dim + 1, lag=lag)
+                emb_cur = emb_next[:, 1:]
+            except ValueError:
+                continue
+            nn_inds, dist_cur = nn_inds_dists(emb_cur)
+            nxt_diff = np.abs(emb_next[:, 0] - emb_next[nn_inds, 0])
+            dist_next = np.maximum(dist_cur, nxt_diff)
+            with np.errstate(all="ignore"):
+                ed[ind] = np.mean(dist_next / dist_cur)
+            ed_star[ind] = np.mean(nxt_diff)
+        with np.errstate(all="ignore"):
+            return ed[1:] / ed[:-1], ed_star[1:] / ed_star[:-1]
+
+    return c._get("cao_curves", _build)
+
+
+register(FeatureKernel(
+    "cao_e1", "general", lambda c: _cao_curves(c)[0],
+    returns_array=True, cost="heavy",
+    ref="general.py:1755, _embed.py:229-343 (input capped at 256)",
+))
+register(FeatureKernel(
+    "cao_e2", "general", lambda c: _cao_curves(c)[1],
+    returns_array=True, cost="heavy",
+    ref="general.py:1859",
+))
+
+
+def _emb_dim_cao(c: SeriesCtx, tol_threshold: float = 0.05) -> float:
+    e1, e2 = _cao_curves(c)
+    if np.all(np.abs(e2 - 1) < tol_threshold):
+        return 1.0
+    diff = np.abs(np.diff(e1))
+    below = np.flatnonzero(diff <= tol_threshold)
+    return float(below[0] + 1) if below.size else 1.0
+
+
+register(FeatureKernel("emb_dim_cao", "general", _emb_dim_cao, cost="heavy",
+                       ref="general.py:1615"))
+
+
+def _fnn_prop(c: SeriesCtx, dims: int = 16, rtol_: float = 10, atol_: float = 2) -> np.ndarray:
+    from ts_pymfe_ray.functions.embed import embed_ts, nn_inds_dists
+    from ts_pymfe_ray.functions.kernels_autocorr import embed_lag
+
+    s = c.ts_scaled[-_CAO_CAP:]
+    lag = embed_lag(c)
+    out = np.full(dims, np.nan)
+    for ind, dim in enumerate(range(1, dims + 1)):
+        try:
+            emb_next = embed_ts(s, dim=dim + 1, lag=lag)
+            emb_cur = emb_next[:, 1:]
+        except ValueError:
+            continue
+        nn_inds, dist_cur = nn_inds_dists(emb_cur)
+        nxt_diff = np.abs(emb_next[:, 0] - emb_next[nn_inds, 0])
+        dist_next = np.maximum(dist_cur, nxt_diff)
+        crit1 = nxt_diff > rtol_ * dist_cur
+        crit2 = dist_next > atol_ * 1.0
+        out[ind] = np.mean(np.logical_or(crit1, crit2))
+    return out
+
+
+register(FeatureKernel("fnn_prop", "general", _fnn_prop, returns_array=True,
+                       cost="heavy", ref="general.py:1963, _embed.py:93-226"))
+
+
+def _pred(c: SeriesCtx, embed_dim: int = 2, std_range: float = 3,
+          num_spacing: int = 4, ddof: int = 1) -> np.ndarray:
+    """Delay-vector-variance predictability (general.py:546-699); O(m^2)
+    — input capped."""
+    from ts_pymfe_ray.functions.embed import embed_ts
+    from ts_pymfe_ray.functions.kernels_autocorr import embed_lag
+
+    s = c.ts_scaled[-_CAO_CAP:]
+    lag = embed_lag(c)
+    emb = embed_ts(s, dim=embed_dim, lag=lag)
+    d2 = np.sqrt(((emb[:, None, :] - emb[None, :, :]) ** 2).sum(axis=2))
+    iu = np.triu_indices(d2.shape[0], k=1)
+    pd = d2[iu]
+    dist_mean, dist_std = pd.mean(), pd.std(ddof=ddof)
+    np.fill_diagonal(d2, np.inf)
+    var_sets = np.zeros(num_spacing)
+    for i in range(num_spacing):
+        thr = max(0.0, dist_mean + std_range * dist_std * (i * 2 / (num_spacing - 1) - 1))
+        neighbors = d2 <= thr
+        for row in neighbors:
+            if row.sum() > ddof:
+                var_sets[i] += np.var(emb[row, :], ddof=ddof)
+    return var_sets / num_spacing
+
+
+register(FeatureKernel("pred", "general", _pred, returns_array=True,
+                       cost="heavy", ref="general.py:546-699"))
+
+
+def _force_potential(c: SeriesCtx, potential: str = "sine") -> np.ndarray:
+    """Leapfrog particle in sine/double-well potential (general.py:1387-1475)."""
+    s = c.ts_scaled
+    if potential == "sine":
+        alpha, fric, dt = 1.0, 1.0, 0.1
+        f_force = lambda x: np.sin(x / alpha) / alpha
+    else:
+        alpha, fric, dt = 2.0, 0.1, 0.1
+        f_force = lambda x: alpha**2 * x - x**3
+    pos = np.zeros(s.size)
+    vel = np.zeros(s.size)
+    for t_prev in range(s.size - 1):
+        aux = f_force(pos[t_prev]) + s[t_prev] - fric * vel[t_prev]
+        pos[t_prev + 1] = pos[t_prev] + dt * vel[t_prev] + dt**2 * aux
+        vel[t_prev + 1] = vel[t_prev] + dt * aux
+        if np.isinf(pos[t_prev + 1]):
+            raise ValueError("potential trajectory diverged")
+    return pos
+
+
+register(FeatureKernel("force_potential", "general", _force_potential,
+                       returns_array=True, cost="medium",
+                       ref="general.py:1387-1475"))

@@ -1,0 +1,284 @@
+"""Local-statistics feature kernels (reference:
+/root/reference/tspymfe/local_stats.py, class MFETSLocalStats) — the
+rolling-window suite at the heart of the rollup engine.
+
+The reference computes every moving_* via pandas ``rolling(w,
+center=True).apply(...)`` — O(n*w) per stat, O(n*w^2) for the .apply ones.
+Here each rolling statistic is an O(n) sliding-sketch computation (running
+power sums / comoments via cumsum), exactly the same algebra the tier
+rollup uses (SURVEY.md §7.0).  Centered windows with min_periods=window +
+remove_nan=True reduce to the n-w+1 fully-valid windows, which is what the
+sliding implementation produces directly.
+
+All moving_* operate on the z-scored series; window size =
+process_window_size(ts, 0.1) forced odd (reference _utils.py:36-67).
+``*_shift`` variants are |diff(moving_stat)| (lag 1, order 1 defaults,
+local_stats.py:176-253).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ts_pymfe_ray.registry import FeatureKernel, SeriesCtx, register
+from ts_pymfe_ray.functions import stats as _st
+
+
+def process_window_size(n: int, window_size: float = 0.1) -> int:
+    """Reference _utils.py:36-67."""
+    if 0 < window_size < 1:
+        w = max(1, int(np.ceil(window_size * n)))
+    else:
+        w = min(n, int(window_size))
+    if w % 2 == 0:
+        w -= 1
+    return int(w)
+
+
+def _sliding_sums(x: np.ndarray, w: int, power: int = 1) -> np.ndarray:
+    xp = x if power == 1 else x**power
+    c = np.concatenate([[0.0], np.cumsum(xp)])
+    return c[w:] - c[:-w]
+
+
+def _window_of(c: SeriesCtx) -> int:
+    return process_window_size(c.ts.size, 0.1)
+
+
+def moving_mean(s: np.ndarray, w: int) -> np.ndarray:
+    return _sliding_sums(s, w) / w
+
+
+def moving_var(s: np.ndarray, w: int, ddof: int = 1) -> np.ndarray:
+    s1 = _sliding_sums(s, w)
+    s2 = _sliding_sums(s, w, 2)
+    v = (s2 - s1 * s1 / w) / (w - ddof)
+    return np.maximum(v, 0.0)
+
+
+def moving_skewness(s: np.ndarray, w: int) -> np.ndarray:
+    """e1071 method-3, bias=True per window (local_stats.py:671)."""
+    s1 = _sliding_sums(s, w)
+    s2 = _sliding_sums(s, w, 2)
+    s3 = _sliding_sums(s, w, 3)
+    mu = s1 / w
+    m2 = s2 / w - mu**2
+    m3 = s3 / w - 3 * mu * s2 / w + 2 * mu**3
+    with np.errstate(all="ignore"):
+        g1 = np.where(m2 > 0, m3 / np.power(np.maximum(m2, 0), 1.5), 0.0)
+    return g1 * ((w - 1.0) / w) ** 1.5
+
+
+def moving_kurtosis(s: np.ndarray, w: int) -> np.ndarray:
+    s1 = _sliding_sums(s, w)
+    s2 = _sliding_sums(s, w, 2)
+    s3 = _sliding_sums(s, w, 3)
+    s4 = _sliding_sums(s, w, 4)
+    mu = s1 / w
+    m2 = s2 / w - mu**2
+    m4 = s4 / w - 4 * mu * s3 / w + 6 * mu**2 * s2 / w - 3 * mu**4
+    with np.errstate(all="ignore"):
+        g2 = np.where(m2 > 0, m4 / np.maximum(m2, 1e-300) ** 2 - 3.0, -3.0)
+    return (g2 + 3.0) * (1.0 - 1.0 / w) ** 2 - 3.0
+
+
+def moving_acf1(s: np.ndarray, w: int, adjusted: bool = True) -> np.ndarray:
+    """Rolling lag-1 ACF, statsmodels semantics per window
+    (local_stats.py:1031: rolling apply of ft_acf(nlags=1, adjusted)):
+    acf1 = (sum_pairs/(w-1)) / (var_pop) with var_pop = ss/w."""
+    s1 = _sliding_sums(s, w)
+    s2 = _sliding_sums(s, w, 2)
+    prod = s[:-1] * s[1:]
+    cp = np.concatenate([[0.0], np.cumsum(prod)])
+    c1 = cp[w - 1 :] - cp[: -(w - 1)]  # sum of w-1 in-window pairs
+    c1 = c1[: s1.size]
+    mu = s1 / w
+    first = s[: s1.size]
+    last = s[w - 1 :]
+    num = c1 - mu * (2 * s1 - first - last) + (w - 1) * mu**2
+    den = s2 - w * mu**2
+    with np.errstate(all="ignore"):
+        acf1 = num / den
+        if adjusted:
+            acf1 = acf1 * w / (w - 1.0)
+    return acf1
+
+
+def moving_gmean(s: np.ndarray, w: int) -> np.ndarray:
+    """scipy.stats.gmean per window: NaN whenever the window holds a
+    non-positive value (log-domain), matching scipy on z-scored input."""
+    with np.errstate(all="ignore"):
+        logs = np.where(s > 0, np.log(np.maximum(s, 1e-300)), np.nan)
+    c = np.concatenate([[0.0], np.nancumsum(logs)])
+    sums = c[w:] - c[:-w]
+    bad = np.concatenate([[0], np.cumsum(~np.isfinite(logs) | np.isnan(logs))])
+    nbad = bad[w:] - bad[:-w]
+    out = np.exp(sums / w)
+    out[nbad > 0] = np.nan
+    return out
+
+
+def _postprocess(vals: np.ndarray, shift: bool) -> np.ndarray:
+    vals = vals[np.isfinite(vals) | np.isnan(vals)]
+    if shift:
+        v = vals[~np.isnan(vals)]
+        return np.abs(np.diff(v))
+    return vals
+
+
+def _mk_moving(stat_fn, shift: bool):
+    def fn(c: SeriesCtx) -> np.ndarray:
+        w = _window_of(c)
+        if w < 2 or c.ts.size < w:
+            return np.full(1, np.nan)
+        vals = stat_fn(c.ts_scaled, w)
+        vals = vals[~np.isnan(vals)] if not shift else vals
+        return _postprocess(vals, shift)
+
+    return fn
+
+
+for _name, _fn, _ref in (
+    ("moving_avg", moving_mean, "local_stats.py:256"),
+    ("moving_var", moving_var, "local_stats.py:388"),
+    ("moving_sd", lambda s, w: np.sqrt(moving_var(s, w)), "local_stats.py:543"),
+    ("moving_skewness", moving_skewness, "local_stats.py:671"),
+    ("moving_kurtosis", moving_kurtosis, "local_stats.py:849"),
+    ("moving_acf", moving_acf1, "local_stats.py:1031"),
+    ("moving_gmean", moving_gmean, "local_stats.py:1162"),
+):
+    register(FeatureKernel(_name, "local_stats", _mk_moving(_fn, False),
+                           returns_array=True, ref=_ref + " (O(n) sliding sketch)"))
+    register(FeatureKernel(_name + "_shift", "local_stats", _mk_moving(_fn, True),
+                           returns_array=True, ref=_ref + " shift variant"))
+
+
+def _moving_kldiv(c: SeriesCtx, remove_inf: bool = True) -> np.ndarray:
+    """KL divergence of consecutive window density histograms
+    (local_stats.py:1281, stride-1 loop preserved)."""
+    from ts_pymfe_ray.functions.kernels_info import kl_divergence
+
+    s = c.ts_scaled
+    w = _window_of(c)
+    if s.size <= w + 1:
+        return np.full(1, np.nan)
+    out = np.zeros(s.size - w)
+    nxt = np.histogram(s[:w], density=True)[0]
+    i = 1
+    while i < s.size - w:
+        cur = nxt
+        nxt = np.histogram(s[i : i + w], density=True)[0]
+        out[i - 1] = kl_divergence(nxt, cur)
+        i += 1
+    if remove_inf:
+        out = out[np.isfinite(out)]
+    return out
+
+
+register(FeatureKernel("moving_kldiv", "local_stats", _moving_kldiv,
+                       returns_array=True, cost="medium",
+                       ref="local_stats.py:1281"))
+
+
+def _moving_kldiv_shift(c: SeriesCtx) -> np.ndarray:
+    vals = _moving_kldiv(c, remove_inf=True)
+    return np.abs(np.diff(vals[~np.isnan(vals)]))
+
+
+register(FeatureKernel("moving_kldiv_shift", "local_stats", _moving_kldiv_shift,
+                       returns_array=True, cost="medium",
+                       ref="local_stats.py:1364"))
+
+
+def lilliefors_statistic(x: np.ndarray) -> float:
+    """Lilliefors KS statistic vs normal with estimated params
+    (statsmodels lilliefors, statistic only; stat_tests.py:425)."""
+    from ts_pymfe_ray.functions.special import norm_cdf
+
+    n = x.size
+    if n < 4:
+        return np.nan
+    mu, sd = x.mean(), x.std(ddof=1)
+    if sd == 0:
+        return np.nan
+    z = np.sort((x - mu) / sd)
+    cdf = np.array([norm_cdf(v) for v in z])
+    ecdf_hi = np.arange(1, n + 1) / n
+    ecdf_lo = np.arange(0, n) / n
+    return float(max(np.max(cdf - ecdf_lo), np.max(ecdf_hi - cdf)))
+
+
+def _moving_lilliefors(c: SeriesCtx) -> np.ndarray:
+    s = c.ts_scaled
+    w = _window_of(c)
+    if s.size < w or w < 4:
+        return np.full(1, np.nan)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(s, w)
+    return np.array([lilliefors_statistic(win) for win in wins])
+
+
+register(FeatureKernel("moving_lilliefors", "local_stats", _moving_lilliefors,
+                       returns_array=True, cost="heavy",
+                       ref="local_stats.py:1451"))
+
+
+def _moving_approx_ent(c: SeriesCtx) -> np.ndarray:
+    from ts_pymfe_ray.functions.kernels_info import approx_entropy
+
+    s = c.ts_scaled
+    w = _window_of(c)
+    if s.size < w or w < 8:
+        return np.full(1, np.nan)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(s, w)
+    # reference re-standardizes each window inside ft_approx_entropy
+    return np.array([approx_entropy(_st.standardize_ts(win)) for win in wins])
+
+
+register(FeatureKernel("moving_approx_ent", "local_stats", _moving_approx_ent,
+                       returns_array=True, cost="heavy",
+                       ref="local_stats.py:1528"))
+
+
+# ------------------------------------------------------------------ tiles
+
+
+def _tiles(c: SeriesCtx, num_tiles: int = 16):
+    """np.array_split boundaries (reference _utils.py:11-33): first n%k
+    tiles get one extra element."""
+    s = c.ts_scaled
+    if num_tiles > 0.5 * s.size:
+        raise ValueError("num_tiles larger than half the series size")
+    return np.array_split(s, num_tiles)
+
+
+register(FeatureKernel(
+    "lumpiness", "local_stats",
+    lambda c: np.array([np.var(t, ddof=1) for t in _tiles(c)]),
+    returns_array=True, ref="local_stats.py:1624",
+))
+register(FeatureKernel(
+    "stability", "local_stats",
+    lambda c: np.array([t.mean() for t in _tiles(c)]),
+    returns_array=True, ref="local_stats.py:1684",
+))
+
+
+def _local_extrema(c: SeriesCtx) -> np.ndarray:
+    out = []
+    for t in _tiles(c):
+        mn, mx = t.min(), t.max()
+        out.append(mx if abs(mn) <= mx else mn)
+    return np.array(out)
+
+
+register(FeatureKernel("local_extrema", "local_stats", _local_extrema,
+                       returns_array=True, ref="local_stats.py:1736"))
+register(FeatureKernel(
+    "local_range", "local_stats",
+    lambda c: np.array([np.ptp(t) for t in _tiles(c)]),
+    returns_array=True, ref="local_stats.py:1791",
+))

@@ -1,0 +1,154 @@
+"""Randomize-group feature kernels (reference:
+/root/reference/tspymfe/randomize.py, class MFETSRandomize).
+
+Per-row Monte Carlo.  The reference drives everything from the GLOBAL
+numpy seed (randomize.py:294-295, _utils.py:402-403, _surrogates.py:63-64)
+— a cluster-reproducibility hazard; the engine derives a per-row
+Generator from doc_id instead (SURVEY.md §7.0), so stochastic features are
+deterministic per row regardless of scheduling."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ts_pymfe_ray.registry import FeatureKernel, SeriesCtx, register
+from ts_pymfe_ray.functions import stats as _st
+from ts_pymfe_ray.functions.kernels_general import _find_crit_pt
+
+
+def _itrand_stat(c: SeriesCtx, func, strategy: str = "dist-dynamic",
+                 prop_rep: float = 2, prop_interval: float = 0.1) -> np.ndarray:
+    """Iterative perturbation sampling (randomize.py:175-312)."""
+    s = np.copy(c.ts_scaled)
+    n = s.size
+    rep_it = int(np.ceil(prop_interval * n))
+    num_it = int(np.ceil(prop_rep * n))
+    num_it += num_it % rep_it
+    out = np.zeros(1 + num_it // rep_it)
+    src = c.ts_scaled if strategy == "dist-static" else s
+    swap = strategy == "permute"
+    rng = c.rng
+    inds = rng.integers(n, size=(num_it, 2))
+    k = 0
+    for it, (a, b) in enumerate(inds):
+        if swap:
+            s[a], src[b] = src[b], s[a]
+        else:
+            s[a] = src[b]
+        if it % rep_it == 0:
+            out[k] = func(s)
+            k += 1
+    return out[:k]
+
+
+register(FeatureKernel(
+    "itrand_mean", "randomize",
+    lambda c: _itrand_stat(c, np.mean),
+    returns_array=True, cost="medium", ref="randomize.py:315",
+))
+register(FeatureKernel(
+    "itrand_sd", "randomize",
+    lambda c: _itrand_stat(c, lambda x: np.std(x, ddof=1)),
+    returns_array=True, cost="medium", ref="randomize.py:410",
+))
+register(FeatureKernel(
+    "itrand_acf", "randomize",
+    lambda c: _itrand_stat(c, lambda x: _st.acf(x, nlags=1)[0] if x.size > 2 else np.nan),
+    returns_array=True, cost="medium", ref="randomize.py:505 (lag-1 ACF)",
+))
+
+
+def _samples(arr: np.ndarray, rng: np.random.Generator, num_samples: int, frac: float):
+    """Random contiguous subsamples (reference apply_on_samples,
+    _utils.py:353-415)."""
+    size = int(np.ceil(arr.size * frac))
+    starts = rng.integers(arr.size - size + 1, size=num_samples)
+    return (arr[s : s + size] for s in starts)
+
+
+register(FeatureKernel(
+    "resample_std", "randomize",
+    lambda c: np.array([np.std(w, ddof=1)
+                        for w in _samples(c.ts_scaled, c.rng, 64, 0.1)]),
+    returns_array=True, cost="medium",
+    ref="randomize.py:604 (64 samples of 10% of the scaled series)",
+))
+
+
+def _resample_acf_stat(c: SeriesCtx, locmin: bool) -> np.ndarray:
+    out = np.empty(128)
+    for k, w in enumerate(_samples(c.ts, c.rng, 128, 0.2)):
+        a = _st.acf(w, nlags=w.size // 2)
+        if locmin:
+            pts = np.flatnonzero(_find_crit_pt(a, "min")) if a.size > 2 else np.array([])
+        else:
+            pts = np.flatnonzero(a <= 0)
+        out[k] = pts[0] + 1 if pts.size else np.nan
+    return out
+
+
+register(FeatureKernel(
+    "resample_first_acf_nonpos", "randomize",
+    lambda c: _resample_acf_stat(c, False),
+    returns_array=True, cost="medium", ref="randomize.py:658",
+))
+register(FeatureKernel(
+    "resample_first_acf_locmin", "randomize",
+    lambda c: _resample_acf_stat(c, True),
+    returns_array=True, cost="medium", ref="randomize.py:711",
+))
+
+
+def iaaft(ts: np.ndarray, rng: np.random.Generator, max_iter: int = 128,
+          atol: float = 1e-8, rtol: float = 1e-10) -> np.ndarray:
+    """IAAFT surrogate (reference _surrogates.py:8-78)."""
+    ampl = np.abs(np.fft.rfft(ts))
+    srt = np.sort(ts)
+    err_prev = -1.0
+    ts_fft = np.fft.rfft(rng.permutation(ts))
+    ts_sur = ts
+    for _ in range(max_iter):
+        s = np.fft.irfft(ampl * ts_fft / (1e-8 + np.abs(ts_fft)), n=ts.size).real
+        ts_sur = srt[np.argsort(np.argsort(s))]
+        ts_fft = np.fft.rfft(ts_sur)
+        err_cur = float(np.sqrt(np.mean((ampl**2 - np.abs(ts_fft) ** 2) ** 2)))
+        if abs(err_cur - err_prev) <= atol + rtol * abs(err_prev):
+            break
+        err_prev = err_cur
+    return ts_sur
+
+
+def _trev_at_lag(x: np.ndarray, lag: int) -> float:
+    d = x[lag:] - x[:-lag]
+    return float(np.mean(d**3) / np.mean(d**2) ** 1.5)
+
+
+def _tc3_at_lag(x: np.ndarray, lag: int) -> float:
+    if x.size <= 2 * lag:
+        return np.nan
+    aux = x[: -2 * lag] * x[lag:-lag]
+    return float(np.mean(aux * x[2 * lag :]) / np.abs(np.mean(aux)) ** 1.5)
+
+
+def _surr_stat(c: SeriesCtx, stat, surrogate_num: int = 32) -> np.ndarray:
+    from ts_pymfe_ray.functions.kernels_autocorr import embed_lag
+
+    lag = embed_lag(c)
+    vals = np.empty(surrogate_num)
+    for i in range(surrogate_num):
+        vals[i] = stat(iaaft(c.ts, c.rng), lag)
+    base = stat(c.ts, lag)
+    return vals / base
+
+
+register(FeatureKernel(
+    "surr_trev", "randomize",
+    lambda c: _surr_stat(c, _trev_at_lag),
+    returns_array=True, cost="heavy",
+    ref="randomize.py:764, _surrogates.py:8-170",
+))
+register(FeatureKernel(
+    "surr_tc3", "randomize",
+    lambda c: _surr_stat(c, _tc3_at_lag),
+    returns_array=True, cost="heavy", ref="randomize.py:891",
+))
