@@ -49,7 +49,7 @@ def run_rollup(
     out_dir: str,
     num_shards: int = 8,
     resume: bool = True,
-    batch_size: int = 64,
+    batch_size: int = 256,
     num_parts: int = 64,
     store_tokens: bool = True,
     max_chunk_tokens: int = 1_048_576,
@@ -71,31 +71,53 @@ def run_rollup(
     if resume:
         mf.clean_uncommitted(out_dir, len(shards))
     committed = mf.load_committed(out_dir) if resume else {}
-    done = 0
     stage = RollupStage(num_parts=num_parts, store_tokens=store_tokens)
-    for sid, shard in enumerate(shards):
-        if sid in committed or not shard:
-            continue
-        if max_shards is not None and done >= max_shards:
-            break
-        t0 = time.perf_counter()
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    commit_lock = threading.Lock()
+
+    def build(shard: list[str]):
         ds = read_sequences(shard)
         ds = ds.map_batches(
             split_long_rows,
             batch_format="pyarrow",
             fn_kwargs={"max_chunk_tokens": max_chunk_tokens},
         )
-        ds = ds.map_batches(
+        return ds.map_batches(
             stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
         )
+
+    def execute(sid: int, shard: list[str], ds) -> None:
+        t0 = time.perf_counter()
         out_shard = mf.shard_dir(out_dir, sid)
         ds.write_parquet(out_shard)
         rows, tokens = _count_written(out_shard)
-        mf.commit_shard(
-            out_dir, sid, shard, config, rows, tokens,
-            (time.perf_counter() - t0) * 1000.0,
-        )
-        done += 1
+        with commit_lock:
+            mf.commit_shard(
+                out_dir, sid, shard, config, rows, tokens,
+                (time.perf_counter() - t0) * 1000.0,
+            )
+
+    todo = [(sid, shard) for sid, shard in enumerate(shards)
+            if sid not in committed and shard]
+    if max_shards is not None:
+        todo = todo[:max_shards]
+    # Overlap shard executions (each is an independent streaming Dataset
+    # run; Ray shares the CPU pool) so one shard's read fills another's
+    # compute gap.  Plans are BUILT serially (lazy, cheap — avoids
+    # concurrent lazy-import races in filesystem resolution) and EXECUTED
+    # concurrently.  Checkpoint semantics unchanged: a shard commits only
+    # after its write fully completes.
+    plans = [(sid, shard, build(shard)) for sid, shard in todo]
+    if len(plans) == 1:
+        execute(*plans[0])
+    elif plans:
+        with ThreadPoolExecutor(max_workers=min(8, len(plans))) as pool:
+            futs = [pool.submit(execute, *p) for p in plans]
+            for f in futs:
+                f.result()
     return {
         "out_dir": out_dir,
         "committed": len(mf.load_committed(out_dir)),

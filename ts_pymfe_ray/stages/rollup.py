@@ -46,9 +46,10 @@ TIER_SCHEMA = pa.schema(
         ("n_windows", pa.int32()),
         ("n_tok", pa.int64()),
         ("n_gap", pa.int64()),
-    ]
-    + [(f"win_{s}", pa.binary()) for s in STREAMS]
-    + [
+        # the six per-window statistic streams (STREAMS order), concatenated
+        # then Gorilla-XOR encoded as ONE blob per row — one codec call per
+        # tier row instead of six
+        ("win_streams", pa.binary()),
         ("win_id_dod", pa.binary()),
         ("tokens_dod", pa.binary()),
     ]
@@ -96,41 +97,52 @@ class RollupStage:
         )
 
         cols: dict[str, list] = {name: [] for name in TIER_SCHEMA.names}
+        # pass 1: per-row sketches (row boundaries force per-row calls);
+        # collect every (row, tier) sketch matrix for ONE batched
+        # derive_features call — the per-window statistics are then computed
+        # by ~10 numpy kernels per BATCH instead of per row.
+        per_row: list[tuple[int, str, np.ndarray]] = []
         for i, tok in enumerate(views):
-            doc_id = doc_ids[i]
-            part_id = stable_hash64(doc_id) % self.num_parts
-            n_gap = int((tok == -1).sum())
             x = gap_fill(tok)
-            sketches = sk.compute_window_sketches(x, RAW_BUCKET)
-            tier_sketches = {"raw": sketches}
-            tier_sketches["10x"] = sk.merge_adjacent(sketches, 10)
-            tier_sketches["100x"] = sk.merge_adjacent(tier_sketches["10x"], 10)
-            for tier in TIERS:
-                tsk = tier_sketches[tier]
-                feats = sk.derive_features(tsk)
-                nw = tsk.shape[0]
-                bucket = RAW_BUCKET * TIER_FACTORS[tier]
-                base_wid = int(window_offs[i]) // bucket
-                cols["doc_id"].append(doc_id)
-                cols["source"].append(sources[i])
-                cols["part_id"].append(part_id)
-                cols["tier"].append(tier)
-                cols["chunk_id"].append(int(chunk_ids[i]))
-                cols["window_offset"].append(int(window_offs[i]))
-                cols["bucket_size"].append(bucket)
-                cols["n_windows"].append(nw)
-                cols["n_tok"].append(int(tok.size))
-                cols["n_gap"].append(n_gap)
-                for s in STREAMS:
-                    cols[f"win_{s}"].append(gorilla.encode_floats_xor(feats[s]))
-                wids = base_wid + np.arange(nw, dtype=np.int64)
-                cols["win_id_dod"].append(gorilla.encode_ints_dod(wids, order=2))
-                if tier == "raw" and self.store_tokens:
-                    cols["tokens_dod"].append(
-                        gorilla.encode_ints_dod(tok.astype(np.int64), order=1)
-                    )
-                else:
-                    cols["tokens_dod"].append(None)
+            raw = sk.compute_window_sketches(x, RAW_BUCKET)
+            t10 = sk.merge_adjacent(raw, 10)
+            t100 = sk.merge_adjacent(t10, 10)
+            per_row.append((i, "raw", raw))
+            per_row.append((i, "10x", t10))
+            per_row.append((i, "100x", t100))
+        big = np.vstack([m for _, _, m in per_row]) if per_row else np.empty((0, sk.N_FIELDS))
+        feats = sk.derive_features(big)
+        stream_mat = np.column_stack([feats[s] for s in STREAMS]) if big.size else np.empty((0, len(STREAMS)))
+
+        off = 0
+        for i, tier, tsk in per_row:
+            nw = tsk.shape[0]
+            tok = views[i]
+            doc_id = doc_ids[i]
+            bucket = RAW_BUCKET * TIER_FACTORS[tier]
+            base_wid = int(window_offs[i]) // bucket
+            cols["doc_id"].append(doc_id)
+            cols["source"].append(sources[i])
+            cols["part_id"].append(stable_hash64(doc_id) % self.num_parts)
+            cols["tier"].append(tier)
+            cols["chunk_id"].append(int(chunk_ids[i]))
+            cols["window_offset"].append(int(window_offs[i]))
+            cols["bucket_size"].append(bucket)
+            cols["n_windows"].append(nw)
+            cols["n_tok"].append(int(tok.size))
+            cols["n_gap"].append(int((tok == -1).sum()))
+            # streams concatenated column-major: [all means | all vars | ...]
+            block = stream_mat[off : off + nw].T.ravel()
+            cols["win_streams"].append(gorilla.encode_floats_xor(block))
+            wids = base_wid + np.arange(nw, dtype=np.int64)
+            cols["win_id_dod"].append(gorilla.encode_ints_dod(wids, order=2))
+            if tier == "raw" and self.store_tokens:
+                cols["tokens_dod"].append(
+                    gorilla.encode_ints_dod(tok.astype(np.int64), order=1)
+                )
+            else:
+                cols["tokens_dod"].append(None)
+            off += nw
         return pa.table(
             {n: pa.array(cols[n], TIER_SCHEMA.field(n).type) for n in TIER_SCHEMA.names},
             schema=TIER_SCHEMA,
@@ -192,7 +204,9 @@ def split_long_rows(batch: pa.Table, max_chunk_tokens: int = 1_048_576) -> pa.Ta
 
 def decode_tier_row(row: dict) -> dict[str, np.ndarray]:
     """Decode one tier row's compressed streams back to numpy arrays."""
-    out = {s: gorilla.decode_floats_xor(row[f"win_{s}"]) for s in STREAMS}
+    flat = gorilla.decode_floats_xor(row["win_streams"])
+    nw = row["n_windows"]
+    out = {s: flat[j * nw : (j + 1) * nw] for j, s in enumerate(STREAMS)}
     out["window_id"] = gorilla.decode_ints_dod(row["win_id_dod"])
     if row.get("tokens_dod") is not None:
         out["tokens"] = gorilla.decode_ints_dod(row["tokens_dod"])
