@@ -134,7 +134,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_neardup": t.q_embeddings_neardup,
         "lang_id": t.q_lang_id,
         "multimodal_decode": q_multimodal_decode,
+        "seq_bootstrap_ci": _q_seq_bootstrap_ci,
     }
+
+
+def _q_seq_bootstrap_ci(sf_dir: str):
+    """Rows-only: distributed bootstrap confidence intervals
+    (extract_with_confidence re-expressed as flat_map -> features ->
+    groupby quantiles) on a deterministic doc subset."""
+    from ts_pymfe_ray.pipelines.bootstrap import bootstrap_features
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    return bootstrap_features(seq_dir, sample_num=8, max_docs=64,
+                              groups=("general",), max_cost="cheap")
 
 
 def oracle_sql() -> dict[str, str]:

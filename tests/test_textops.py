@@ -1,0 +1,121 @@
+"""Training-data operator tests: dedup family, ANN, text analysis,
+multimodal stub, bootstrap pipeline."""
+
+import numpy as np
+import pytest
+
+from ts_pymfe_ray.pipelines import textops as t
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_estimates_jaccard():
+    a = t._shingles("the quick brown fox jumps over the lazy dog and runs far away today")
+    b = t._shingles("the quick brown fox jumps over the lazy dog and runs far away home now")
+    true_j = t.jaccard(a, b)
+    sa, sb = t.minhash_signature(a), t.minhash_signature(b)
+    est = (sa == sb).mean()
+    assert abs(est - true_j) < 0.25
+    # identical docs -> identical signatures
+    assert np.array_equal(t.minhash_signature(a), t.minhash_signature(a))
+
+
+def test_band_keys_deterministic_and_banded():
+    sig = t.minhash_signature(t._shingles("a b c d e f g h i j k l"))
+    k1, k2 = t.band_keys(sig), t.band_keys(sig)
+    assert k1 == k2 and len(k1) == t.BANDS
+
+
+def test_simhash_properties():
+    h1 = t.simhash64("spark table scan join order merge batch")
+    h2 = t.simhash64("spark table scan join order merge batch")
+    h3 = t.simhash64("completely different words entirely unrelated text")
+    assert h1 == h2
+    ham = bin(int(h1) ^ int(h3)).count("1")
+    assert ham > 10  # unrelated docs far apart
+
+
+def test_dedup_finds_planted_duplicates(ray_session, tmp_path):
+    """Plant near-duplicates in a copy of the documents table; MinHash and
+    SimHash must surface them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/documents.parquet")
+    texts = src.column("text").to_pylist()
+    # duplicate doc 0 exactly and doc 1 with a one-word change
+    texts_dup = texts + [texts[0], texts[1].replace(texts[1].split(" ")[0], "zzz", 1)]
+    n = len(texts_dup)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts_dup, pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["src0"] * n),
+            "n_chars": pa.array([len(x) for x in texts_dup], pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    pairs = t.q_dedup_minhash(str(d), threshold=0.8)
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 500) in found
+    jac = t.q_dedup_ngram_jaccard(str(d), threshold=0.8)
+    assert ((jac["doc_a"] == 0) & (jac["doc_b"] == 500)).any()
+    sh = t.q_dedup_simhash(str(d), max_hamming=3)
+    found_sh = set(map(tuple, sh[["doc_a", "doc_b"]].to_numpy())) if len(sh) else set()
+    assert (0, 500) in found_sh
+
+
+def test_ann_matches_bruteforce(ray_session):
+    from ts_pymfe_ray.pipelines.queries import q_embeddings_knn
+    import pyarrow.parquet as pq
+
+    out = q_embeddings_knn(SF, k=5, query_vec_id=0)
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(emb.column("vec_id").to_pylist())
+    mat = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    q = mat[ids.tolist().index(0)]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    top5 = set(ids[np.argsort(-sims)[:5]].tolist())
+    assert set(out["vec_id"]) == top5
+
+
+def test_lang_id_and_quality(ray_session):
+    # the testdata's lang column is synthetic (the text is the same
+    # English-ish word salad for every label), so accuracy-vs-label is not
+    # meaningful; assert the rollup shape plus the detector's behavior on
+    # genuine inputs.
+    lang = t.q_lang_id(SF)
+    assert lang["n_docs"].sum() == 500
+    assert t.detect_lang("the quick brown fox is on the hill and it was fine") == "en"
+    assert t.detect_lang("这 是 一 段 中 文 文 本 没 有 英 文 停 用 词") == "unknown"
+    q = t.q_text_quality_full(SF)
+    assert (q["avg_words"] > 0).all()
+    assert ((q["avg_stopword_ratio"] >= 0) & (q["avg_stopword_ratio"] <= 1)).all()
+
+
+def test_multimodal_stub(ray_session):
+    from ts_pymfe_ray.stages.multimodal import q_multimodal_decode
+
+    out = q_multimodal_decode(SF)
+    assert out["n_media"].sum() == 500
+    assert (out["kind"] == "text-as-blob").all()
+    assert ((out["mean_f0"] >= 0) & (out["mean_f0"] <= 1)).all()
+
+
+def test_bootstrap_pipeline(ray_session, seq_dir_small):
+    from ts_pymfe_ray.pipelines.bootstrap import bootstrap_features
+
+    df = bootstrap_features(seq_dir_small, sample_num=4, max_docs=10,
+                            groups=("general",), max_cost="cheap")
+    assert len(df) >= 1
+    lo = df["t_mean.lo"] if "t_mean.lo" in df else None
+    # intervals ordered
+    lo_cols = [c for c in df.columns if c.endswith(".lo")]
+    for c in lo_cols[:5]:
+        hi = c[:-3] + ".hi"
+        ok = np.isfinite(df[c]) & np.isfinite(df[hi])
+        assert (df[c][ok] <= df[hi][ok] + 1e-12).all()

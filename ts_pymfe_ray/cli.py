@@ -1,0 +1,89 @@
+"""Job driver — the ``ray job submit`` entry point.
+
+    ray job submit -- python -m ts_pymfe_ray.cli rollup \
+        --input /data/sequences --output /data/tiers --num-shards 256
+
+Owns the Ray session (guarded init — inside a Ray job the session already
+exists).  Each subcommand is one of the flagship pipelines; rollup and
+features are resumable (re-running skips committed shards via the
+manifest)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ts_pymfe_ray")
+    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth"])
+    ap.add_argument("--input", help="sequences parquet dir")
+    ap.add_argument("--output", help="output dir (rollup/features)")
+    ap.add_argument("--num-shards", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--groups", default=None, help="comma-separated kernel groups")
+    ap.add_argument("--max-cost", default="medium", choices=["cheap", "medium", "heavy"])
+    ap.add_argument("--sf", type=float, default=None, help="synth: scale factor")
+    args = ap.parse_args(argv)
+
+    _ensure_ray(args.num_cpus)
+    groups = tuple(args.groups.split(",")) if args.groups else None
+
+    from ts_pymfe_ray.pipelines import flagship
+
+    if args.job == "synth":
+        from ts_pymfe_ray.synth import ensure_sequences
+
+        path = ensure_sequences(args.sf or 0.001)
+        print(json.dumps({"sequences": path}))
+    elif args.job == "rollup":
+        res = flagship.run_rollup(
+            args.input, args.output, num_shards=args.num_shards,
+            resume=not args.no_resume,
+        )
+        print(json.dumps(res))
+    elif args.job == "features":
+        res = flagship.run_features(
+            args.input, args.output, groups=groups, max_cost=args.max_cost,
+            num_shards=args.num_shards, resume=not args.no_resume,
+        )
+        print(json.dumps(res))
+    elif args.job == "source-rollup":
+        df = flagship.rollup_by_source(args.input).to_pandas()
+        if args.output:
+            df.to_parquet(args.output)
+        print(json.dumps({"rows": len(df)}))
+    elif args.job == "bootstrap":
+        from ts_pymfe_ray.pipelines.bootstrap import bootstrap_features
+
+        df = bootstrap_features(args.input, groups=groups or ("general",))
+        if args.output:
+            df.to_parquet(args.output)
+        print(json.dumps({"rows": len(df)}))
+
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
