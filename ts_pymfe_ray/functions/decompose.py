@@ -116,31 +116,31 @@ def _tricube(u: np.ndarray) -> np.ndarray:
 def _loess_fit_points(
     x: np.ndarray, y: np.ndarray, x0: np.ndarray, q: int
 ) -> np.ndarray:
-    """Loess degree-1 fit of (x, y) evaluated at points x0 (small count) —
-    used for window edges and cycle-subseries extrapolation."""
+    """Loess degree-1 fit of (x, y) evaluated at points x0 — used for
+    window edges and cycle-subseries extrapolation.  Fully vectorized over
+    evaluation points: one (len(x0), len(x)) weight matrix."""
     n = x.size
+    x0 = np.asarray(x0, dtype=np.float64)
     q_eff = min(q, n)
-    out = np.empty(x0.size)
-    for j, xs in enumerate(x0):
-        d = np.abs(x - xs)
-        if q_eff < n:
-            lam = np.partition(d, q_eff - 1)[q_eff - 1]
-        else:
-            lam = d.max() * max(1.0, q / n)
-        if lam <= 0:
-            lam = 1.0
-        w = _tricube(d / lam)
-        sw = w.sum()
-        if sw <= 0:
-            out[j] = y.mean()
-            continue
-        xbar = (w * x).sum() / sw
-        ybar = (w * y).sum() / sw
-        var = (w * (x - xbar) ** 2).sum()
-        cov = (w * (x - xbar) * (y - ybar)).sum()
-        slope = cov / var if var > 1e-12 else 0.0
-        out[j] = ybar + slope * (xs - xbar)
-    return out
+    d = np.abs(x[None, :] - x0[:, None])  # (m, n)
+    if q_eff < n:
+        lam = np.partition(d, q_eff - 1, axis=1)[:, q_eff - 1]
+    else:
+        lam = d.max(axis=1) * max(1.0, q / n)
+    lam = np.where(lam <= 0, 1.0, lam)
+    w = _tricube(d / lam[:, None])
+    sw = w.sum(axis=1)
+    safe = sw > 0
+    sw = np.where(safe, sw, 1.0)
+    xbar = (w @ x) / sw
+    ybar = (w @ y) / sw
+    dx = x[None, :] - xbar[:, None]
+    var = (w * dx * dx).sum(axis=1)
+    cov = (w * dx * (y[None, :] - ybar[:, None])).sum(axis=1)
+    with np.errstate(all="ignore"):
+        slope = np.where(var > 1e-12, cov / var, 0.0)
+    out = ybar + slope * (x0 - xbar)
+    return np.where(safe, out, y.mean() if n else np.nan)
 
 
 def loess_equal(y: np.ndarray, q: int) -> np.ndarray:

@@ -155,21 +155,37 @@ for _name, _fn, _ref in (
 
 def _moving_kldiv(c: SeriesCtx, remove_inf: bool = True) -> np.ndarray:
     """KL divergence of consecutive window density histograms
-    (local_stats.py:1281, stride-1 loop preserved)."""
-    from ts_pymfe_ray.functions.kernels_info import kl_divergence
+    (local_stats.py:1281).  Vectorized: per-window 10-bin histograms for
+    ALL stride-1 windows in one bincount, then KL(next||cur) row-wise.
+    Each window keeps its own equal-width bin range like np.histogram."""
 
-    s = c.ts_scaled
-    w = _window_of(c)
-    if s.size <= w + 1:
-        return np.full(1, np.nan)
-    out = np.zeros(s.size - w)
-    nxt = np.histogram(s[:w], density=True)[0]
-    i = 1
-    while i < s.size - w:
-        cur = nxt
-        nxt = np.histogram(s[i : i + w], density=True)[0]
-        out[i - 1] = kl_divergence(nxt, cur)
-        i += 1
+    def _build():
+        s = c.ts_scaled
+        w = _window_of(c)
+        if s.size <= w + 1:
+            return np.full(1, np.nan)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        m = s.size - w  # windows 0..m-1 (reference computes m-1 divergences)
+        wins = sliding_window_view(s, w)[:m]
+        lo = wins.min(axis=1, keepdims=True)
+        hi = wins.max(axis=1, keepdims=True)
+        rng_ = np.where(hi > lo, hi - lo, 1.0)
+        idx = ((wins - lo) * (10.0 / rng_)).astype(np.int64)
+        np.minimum(idx, 9, out=idx)
+        rows = np.arange(m)[:, None]
+        counts = np.bincount((rows * 10 + idx).ravel(), minlength=m * 10).reshape(m, 10)
+        p = counts / w  # per-window distribution (normalization cancels)
+        cur, nxt = p[:-1], p[1:]
+        with np.errstate(all="ignore"):
+            terms = np.where(nxt > 0, nxt * np.log(nxt / cur), 0.0)
+            out = terms.sum(axis=1)
+            out[np.logical_and(nxt > 0, cur == 0).any(axis=1)] = np.inf
+        # reference quirk kept: result array is length n-w with a trailing
+        # 0.0 that the loop never fills (local_stats.py:1341-1353)
+        return np.concatenate([out, [0.0]])
+
+    out = c._get("moving_kldiv", _build)
     if remove_inf:
         out = out[np.isfinite(out)]
     return out

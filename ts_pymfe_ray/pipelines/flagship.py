@@ -145,25 +145,42 @@ def run_features(
     if resume:
         mf.clean_uncommitted(out_dir, len(shards))
     committed = mf.load_committed(out_dir) if resume else {}
-    for sid, shard in enumerate(shards):
-        if sid in committed or not shard:
-            continue
-        t0 = time.perf_counter()
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    commit_lock = threading.Lock()
+
+    def build(shard: list[str]):
         ds = read_sequences(shard)
         kwargs: dict = {"batch_format": "pyarrow", "zero_copy_batch": True, "batch_size": batch_size}
         if concurrency or max_cost == "heavy":
+            # heavy packs (GP / model fits) -> actor pool: per-actor setup
+            # (kernel plan, sim tables) happens once per worker
             kwargs["concurrency"] = concurrency or 4
-            ds = ds.map_batches(
+            return ds.map_batches(
                 FeatureStage, fn_constructor_kwargs={"groups": groups, "max_cost": max_cost}, **kwargs
             )
-        else:
-            ds = ds.map_batches(FeatureStage(groups=groups, max_cost=max_cost), **kwargs)
+        return ds.map_batches(FeatureStage(groups=groups, max_cost=max_cost), **kwargs)
+
+    def execute(sid: int, shard: list[str], ds) -> None:
+        t0 = time.perf_counter()
         out_shard = mf.shard_dir(out_dir, sid)
         ds.write_parquet(out_shard)
-        dset = pads.dataset(out_shard, format="parquet")
-        rows = dset.count_rows()
-        mf.commit_shard(out_dir, sid, shard, config, rows, 0,
-                        (time.perf_counter() - t0) * 1000.0)
+        rows = pads.dataset(out_shard, format="parquet").count_rows()
+        with commit_lock:
+            mf.commit_shard(out_dir, sid, shard, config, rows, 0,
+                            (time.perf_counter() - t0) * 1000.0)
+
+    todo = [(sid, shard) for sid, shard in enumerate(shards)
+            if sid not in committed and shard]
+    plans = [(sid, shard, build(shard)) for sid, shard in todo]
+    if len(plans) == 1:
+        execute(*plans[0])
+    elif plans:
+        with ThreadPoolExecutor(max_workers=min(4, len(plans))) as pool:
+            for f in [pool.submit(execute, *p) for p in plans]:
+                f.result()
     return {
         "out_dir": out_dir,
         "committed": len(mf.load_committed(out_dir)),
