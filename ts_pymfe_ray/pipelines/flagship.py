@@ -206,37 +206,57 @@ def _partial_sketches(batch: pa.Table, tiers=("raw", "10x", "100x")) -> pa.Table
 
     views, _, _ = tokens_views(batch)
     sources = batch.column("source").to_pylist()
-    acc: dict[tuple, np.ndarray] = {}
+    src_names = sorted(set(sources))
+    src_id = {s: i for i, s in enumerate(src_names)}
+    tier_names = list(tiers)
+    tier_id = {t: i for i, t in enumerate(tier_names)}
+
+    mats: list[np.ndarray] = []
+    keys: list[np.ndarray] = []
+    max_wid = 1
+    per_row_tiers = []
     for i, tok in enumerate(views):
         x = gap_fill(tok)
         raw = sk.compute_window_sketches(x, RAW_BUCKET)
-        per_tier = {"raw": raw}
-        per_tier["10x"] = sk.merge_adjacent(raw, 10)
+        per_tier = {"raw": raw, "10x": sk.merge_adjacent(raw, 10)}
         per_tier["100x"] = sk.merge_adjacent(per_tier["10x"], 10)
         for tier in tiers:
             mat = per_tier[tier]
-            for w in range(mat.shape[0]):
-                key = (sources[i], tier, w)
-                if key in acc:
-                    a = acc[key]
-                    row = mat[w]
-                    merged = a.copy()
-                    for f in ("n", "s1", "s2", "s3", "s4", "c1"):
-                        merged[sk._I[f]] = a[sk._I[f]] + row[sk._I[f]]
-                    merged[sk._I["vmin"]] = min(a[sk._I["vmin"]], row[sk._I["vmin"]])
-                    merged[sk._I["vmax"]] = max(a[sk._I["vmax"]], row[sk._I["vmax"]])
-                    acc[key] = merged
-                else:
-                    acc[key] = mat[w].copy()
-    keys = list(acc.keys())
-    cols: dict[str, list] = {
-        "source": [k[0] for k in keys],
-        "tier": [k[1] for k in keys],
-        "window_id": [k[2] for k in keys],
+            mats.append(mat)
+            per_row_tiers.append((src_id[sources[i]], tier_id[tier], mat.shape[0]))
+            max_wid = max(max_wid, mat.shape[0])
+    if not mats:
+        return pa.table({n: pa.array([], _PARTIAL_SCHEMA.field(n).type) for n in _PARTIAL_SCHEMA.names})
+    big = np.vstack(mats)
+    key_parts = np.concatenate([
+        (np.full(nw, s, dtype=np.int64) * len(tier_names) + t) * max_wid + np.arange(nw)
+        for s, t, nw in per_row_tiers
+    ])
+    # sort-group-reduce: one argsort, then reduceat per field — no Python
+    # per-window loop
+    order = np.argsort(key_parts, kind="stable")
+    skeys = key_parts[order]
+    sbig = big[order]
+    starts = np.flatnonzero(np.concatenate([[True], skeys[1:] != skeys[:-1]]))
+    uniq = skeys[starts]
+    agg = np.empty((uniq.size, sk.N_FIELDS))
+    for f in ("n", "s1", "s2", "s3", "s4", "c1"):
+        agg[:, sk._I[f]] = np.add.reduceat(sbig[:, sk._I[f]], starts)
+    agg[:, sk._I["vmin"]] = np.minimum.reduceat(sbig[:, sk._I["vmin"]], starts)
+    agg[:, sk._I["vmax"]] = np.maximum.reduceat(sbig[:, sk._I["vmax"]], starts)
+    agg[:, sk._I["first"]] = np.nan
+    agg[:, sk._I["last"]] = np.nan
+
+    wid = uniq % max_wid
+    st = (uniq // max_wid) % len(tier_names)
+    ss = uniq // (max_wid * len(tier_names))
+    cols: dict[str, object] = {
+        "source": [src_names[i] for i in ss],
+        "tier": [tier_names[i] for i in st],
+        "window_id": wid,
     }
-    mat = np.array([acc[k] for k in keys]) if keys else np.empty((0, sk.N_FIELDS))
     for j, f in enumerate(sk.FIELDS):
-        cols[f] = mat[:, j] if len(keys) else []
+        cols[f] = agg[:, j]
     return pa.table({n: pa.array(cols[n], _PARTIAL_SCHEMA.field(n).type) for n in _PARTIAL_SCHEMA.names})
 
 
