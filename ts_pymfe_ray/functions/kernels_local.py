@@ -262,39 +262,57 @@ register(FeatureKernel("moving_approx_ent", "local_stats", _moving_approx_ent,
 # ------------------------------------------------------------------ tiles
 
 
-def _tiles(c: SeriesCtx, num_tiles: int = 16):
-    """np.array_split boundaries (reference _utils.py:11-33): first n%k
-    tiles get one extra element."""
-    s = c.ts_scaled
-    if num_tiles > 0.5 * s.size:
-        raise ValueError("num_tiles larger than half the series size")
-    return np.array_split(s, num_tiles)
+def _tile_stats(c: SeriesCtx, num_tiles: int = 16) -> dict[str, np.ndarray]:
+    """Per-tile mean/var/min/max in one reduceat pass.  Tile boundaries =
+    np.array_split semantics (reference _utils.py:11-33: first n%k tiles
+    get one extra element); cached per row."""
+
+    def _build():
+        s = c.ts_scaled
+        n = s.size
+        if num_tiles > 0.5 * n:
+            raise ValueError("num_tiles larger than half the series size")
+        base, extra = divmod(n, num_tiles)
+        sizes = np.full(num_tiles, base, dtype=np.int64)
+        sizes[:extra] += 1
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        cnt = sizes.astype(np.float64)
+        s1 = np.add.reduceat(s, starts)
+        s2 = np.add.reduceat(s * s, starts)
+        mean = s1 / cnt
+        with np.errstate(all="ignore"):
+            var = (s2 - cnt * mean**2) / (cnt - 1)
+        return {
+            "mean": mean,
+            "var": np.maximum(var, 0.0),
+            "min": np.minimum.reduceat(s, starts),
+            "max": np.maximum.reduceat(s, starts),
+        }
+
+    return c._get(f"tiles{num_tiles}", _build)
 
 
 register(FeatureKernel(
     "lumpiness", "local_stats",
-    lambda c: np.array([np.var(t, ddof=1) for t in _tiles(c)]),
+    lambda c: _tile_stats(c)["var"],
     returns_array=True, ref="local_stats.py:1624",
 ))
 register(FeatureKernel(
     "stability", "local_stats",
-    lambda c: np.array([t.mean() for t in _tiles(c)]),
+    lambda c: _tile_stats(c)["mean"],
     returns_array=True, ref="local_stats.py:1684",
 ))
 
 
 def _local_extrema(c: SeriesCtx) -> np.ndarray:
-    out = []
-    for t in _tiles(c):
-        mn, mx = t.min(), t.max()
-        out.append(mx if abs(mn) <= mx else mn)
-    return np.array(out)
+    t = _tile_stats(c)
+    return np.where(np.abs(t["min"]) <= t["max"], t["max"], t["min"])
 
 
 register(FeatureKernel("local_extrema", "local_stats", _local_extrema,
                        returns_array=True, ref="local_stats.py:1736"))
 register(FeatureKernel(
     "local_range", "local_stats",
-    lambda c: np.array([np.ptp(t) for t in _tiles(c)]),
+    lambda c: _tile_stats(c)["max"] - _tile_stats(c)["min"],
     returns_array=True, ref="local_stats.py:1791",
 ))

@@ -166,13 +166,20 @@ def kernels_of(groups: t.Iterable[str] | None = None, max_cost: str = "heavy") -
 # ("mean", "sd"), tsmfe.py:48) ------------------------------------------
 def summarize_array(vals: np.ndarray) -> dict[str, float]:
     v = np.asarray(vals, dtype=np.float64)
-    v = v[np.isfinite(v)]
     if v.size == 0:
         return {"mean": np.nan, "sd": np.nan}
-    return {
-        "mean": float(v.mean()),
-        "sd": float(v.std(ddof=1)) if v.size > 1 else np.nan,
-    }
+    s1 = v.sum()
+    if not np.isfinite(s1):  # NaN/inf present -> pay for the mask
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return {"mean": np.nan, "sd": np.nan}
+        s1 = v.sum()
+    n = v.size
+    mean = s1 / n
+    if n < 2:
+        return {"mean": float(mean), "sd": np.nan}
+    var = (v @ v - n * mean * mean) / (n - 1)
+    return {"mean": float(mean), "sd": float(np.sqrt(var)) if var > 0 else 0.0}
 
 
 def feature_columns(kernels: list[FeatureKernel]) -> list[str]:
