@@ -45,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--sf", type=float, default=None, help="synth: scale factor")
     args = ap.parse_args(argv)
 
+    if args.job in ("rollup", "features", "source-rollup", "bootstrap") and not args.input:
+        ap.error(f"--input is required for job '{args.job}'")
+    if args.job in ("rollup", "features") and not args.output:
+        ap.error(f"--output is required for job '{args.job}'")
+
     _ensure_ray(args.num_cpus)
     groups = tuple(args.groups.split(",")) if args.groups else None
 

@@ -28,7 +28,13 @@ def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST_NAME)
 
 
-def load_committed(out_dir: str) -> dict[int, dict]:
+def load_committed(out_dir: str, check_data: bool = True) -> dict[int, dict]:
+    """Committed shards (last manifest line per shard wins).
+
+    ``check_data``: a commit line whose shard output directory no longer
+    exists is treated as UNCOMMITTED — the manifest is a claim about
+    durable data, and resume must recompute a shard whose data was lost
+    after commit rather than silently skip it."""
     path = manifest_path(out_dir)
     committed: dict[int, dict] = {}
     if os.path.exists(path):
@@ -39,6 +45,12 @@ def load_committed(out_dir: str) -> dict[int, dict]:
                     continue
                 rec = json.loads(line)
                 committed[rec["shard_id"]] = rec
+    if check_data:
+        committed = {
+            sid: rec
+            for sid, rec in committed.items()
+            if os.path.isdir(shard_dir(out_dir, sid))
+        }
     return committed
 
 
