@@ -32,16 +32,30 @@ from ts_pymfe_ray.state import manifest as mf
 DEFAULT_OUT_ROOT = "/tmp/ts_pymfe_ray_out"
 
 
+def _shard_workers(num_plans: int) -> int:
+    """Concurrent shard executions: overlap hides per-execution latency,
+    but each execution needs enough CPUs to stream — below ~4 CPUs per
+    concurrent execution the overlap thrashes instead of helping."""
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(1, min(8, num_plans, ncpu // 4))
+
+
 def _count_written(out_shard_dir: str) -> tuple[int, int]:
-    """(rows, raw-tier token count) from the just-written shard output."""
+    """(rows, raw-tier token count) from the just-written shard output.
+    Arrow-native (no Python-object materialization — this runs on the
+    driver and must not serialize shard commits behind the GIL)."""
+    import pyarrow.compute as pc
+
     ds = pads.dataset(out_shard_dir, format="parquet")
     rows = ds.count_rows()
-    tok = 0
-    for b in ds.to_batches(columns=["tier", "n_tok"]):
-        t = b.column(0).to_pylist()
-        n = b.column(1).to_numpy()
-        tok += int(n[np.asarray([x == "raw" for x in t], dtype=bool)].sum())
-    return rows, tok
+    tbl = ds.to_table(columns=["tier", "n_tok"])
+    tok = pc.sum(pc.filter(tbl.column("n_tok"), pc.equal(tbl.column("tier"), "raw"))).as_py()
+    return rows, int(tok or 0)
 
 
 def run_rollup(
@@ -111,10 +125,12 @@ def run_rollup(
     # concurrently.  Checkpoint semantics unchanged: a shard commits only
     # after its write fully completes.
     plans = [(sid, shard, build(shard)) for sid, shard in todo]
-    if len(plans) == 1:
-        execute(*plans[0])
+    workers = _shard_workers(len(plans))
+    if len(plans) == 1 or workers == 1:
+        for p in plans:
+            execute(*p)
     elif plans:
-        with ThreadPoolExecutor(max_workers=min(8, len(plans))) as pool:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
             futs = [pool.submit(execute, *p) for p in plans]
             for f in futs:
                 f.result()
@@ -175,10 +191,12 @@ def run_features(
     todo = [(sid, shard) for sid, shard in enumerate(shards)
             if sid not in committed and shard]
     plans = [(sid, shard, build(shard)) for sid, shard in todo]
-    if len(plans) == 1:
-        execute(*plans[0])
+    workers = _shard_workers(len(plans))
+    if len(plans) == 1 or workers == 1:
+        for p in plans:
+            execute(*p)
     elif plans:
-        with ThreadPoolExecutor(max_workers=min(4, len(plans))) as pool:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
             for f in [pool.submit(execute, *p) for p in plans]:
                 f.result()
     return {
