@@ -247,7 +247,7 @@ def _lyap_r(c: SeriesCtx, embed_dim: int = 10, lag: int | None = None,
             trajectory_len: int = 20) -> float:
     """Largest Lyapunov exponent, Rosenstein et al. 1993.
     Reference: global_stats.py:644 (nolds.lyap_r).  O(m^2) — capped."""
-    x = c.ts
+    x = c.ts[-256:]  # O(m^2 d) pairwise distances — capped (documented)
     if lag is None:
         lag = 1
     if x.size < embed_dim * lag + trajectory_len + 2:

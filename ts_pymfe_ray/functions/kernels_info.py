@@ -144,7 +144,7 @@ register(FeatureKernel("ami_curvature", "info_theory", _ami_curvature,
 
 
 def approx_entropy(ts_scaled: np.ndarray, embed_dim: int = 2, embed_lag_: int = 1,
-                   threshold: float = 0.2, cap: int = 512) -> float:
+                   threshold: float = 0.2, cap: int = 256) -> float:
     """ApEn (reference info_theory.py:764-837); chebyshev metric, O(m^2)
     — input capped."""
     s = ts_scaled[-cap:] if ts_scaled.size > cap else ts_scaled
@@ -159,7 +159,7 @@ def approx_entropy(ts_scaled: np.ndarray, embed_dim: int = 2, embed_lag_: int = 
 
 
 def sample_entropy(ts_scaled: np.ndarray, embed_dim: int = 2, embed_lag_: int = 1,
-                   threshold: float = 0.2, cap: int = 512) -> float:
+                   threshold: float = 0.2, cap: int = 256) -> float:
     """SampEn (reference info_theory.py:840-914): log ratio of pair counts
     below threshold at dims m, m+1 (pdist: i<j pairs, self excluded)."""
     s = ts_scaled[-cap:] if ts_scaled.size > cap else ts_scaled

