@@ -20,7 +20,7 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-_OUT_ROOT = "/tmp/ts_pymfe_ray_entry"
+_OUT_ROOT = "/tmp/ts_pymfe_ray_entry_v2"
 
 
 def entry() -> Any:
@@ -32,7 +32,8 @@ def entry() -> Any:
     seq_dir = ensure_sequences(0.001)
     out = os.path.join(_OUT_ROOT, "tiers_sf0.001")
     flagship.run_rollup(seq_dir, out, num_shards=4)
-    ds = pads.dataset(out, format="parquet", ignore_prefixes=[".", "_", "manifest"])
+    ds = pads.dataset(out, format="parquet", partitioning="hive",
+                      ignore_prefixes=[".", "_", "manifest"])
     cols = [
         "doc_id", "source", "part_id", "tier", "chunk_id", "bucket_size",
         "n_windows", "n_tok", "n_gap",
@@ -57,7 +58,8 @@ def _q_seq_tier_rollup(sf_dir: str):
     tag = os.path.basename(os.path.normpath(seq_dir))
     out = os.path.join(_OUT_ROOT, f"tiers_{tag}")
     flagship.run_rollup(seq_dir, out, num_shards=8)
-    ds = pads.dataset(out, format="parquet", ignore_prefixes=[".", "_", "manifest"])
+    ds = pads.dataset(out, format="parquet", partitioning="hive",
+                      ignore_prefixes=[".", "_", "manifest"])
     tbl = ds.to_table(columns=["source", "tier", "n_windows", "n_tok", "n_gap"]).to_pandas()
     g = tbl.groupby(["source", "tier"]).agg(
         n_rows=("n_windows", "size"),

@@ -22,7 +22,8 @@ def rollup_out(ray_session, seq_dir_small, tmp_path_factory):
 
 
 def _load_rows(out_dir, **filt):
-    ds = pads.dataset(out_dir, format="parquet", ignore_prefixes=[".", "_", "manifest"])
+    ds = pads.dataset(out_dir, format="parquet", partitioning="hive",
+                      ignore_prefixes=[".", "_", "manifest"])
     tbl = ds.to_table()
     rows = tbl.to_pylist()
     for k, v in filt.items():
@@ -142,3 +143,37 @@ def test_rollup_by_source(ray_session, seq_dir_small):
     # window 0 aggregates every doc of the source
     w0 = res[res["window_id"] == 0]
     assert (w0["n"] > 0).all()
+
+
+def test_retention_prunes_tier_dirs(ray_session, seq_dir_small, tmp_path_factory):
+    """North-rule retention: age out the raw tier by directory delete;
+    coarser tiers stay decodable; resume does not resurrect raw."""
+    from ts_pymfe_ray.state import retention
+
+    out = str(tmp_path_factory.mktemp("tiers_ret"))
+    flagship.run_rollup(seq_dir_small, out, num_shards=3)
+    tiers_before = retention.list_tiers(out)
+    assert set(tiers_before) == {"raw", "10x", "100x"}
+
+    removed = retention.apply_retention(out, drop_tiers=("raw",))
+    assert removed["raw"] == tiers_before["raw"]
+    assert set(retention.list_tiers(out)) == {"10x", "100x"}
+
+    # coarser tiers still decodable
+    tbl = retention.read_tiers(out, tier="10x")
+    assert tbl.num_rows > 0
+    row = tbl.to_pylist()[0]
+    dec = decode_tier_row(row)
+    assert dec["mean"].size == row["n_windows"]
+
+    # resume must NOT recompute committed shards (raw stays pruned)
+    res = flagship.run_rollup(seq_dir_small, out, num_shards=3)
+    assert res["committed"] == 3
+    assert set(retention.list_tiers(out)) == {"10x", "100x"}
+
+    # audit record landed in the manifest
+    import json
+
+    with open(f"{out}/manifest.jsonl") as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert any(r.get("type") == "retention" for r in recs)

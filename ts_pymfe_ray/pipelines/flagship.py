@@ -51,7 +51,7 @@ def _count_written(out_shard_dir: str) -> tuple[int, int]:
     driver and must not serialize shard commits behind the GIL)."""
     import pyarrow.compute as pc
 
-    ds = pads.dataset(out_shard_dir, format="parquet")
+    ds = pads.dataset(out_shard_dir, format="parquet", partitioning="hive")
     rows = ds.count_rows()
     tbl = ds.to_table(columns=["tier", "n_tok"])
     tok = pc.sum(pc.filter(tbl.column("n_tok"), pc.equal(tbl.column("tier"), "raw"))).as_py()
@@ -106,7 +106,9 @@ def run_rollup(
     def execute(sid: int, shard: list[str], ds) -> None:
         t0 = time.perf_counter()
         out_shard = mf.shard_dir(out_dir, sid)
-        ds.write_parquet(out_shard)
+        # hive-partition by tier inside each shard so the retention ladder
+        # can age out a whole tier with a directory delete (state/retention)
+        ds.write_parquet(out_shard, partition_cols=["tier"])
         rows, tokens = _count_written(out_shard)
         with commit_lock:
             mf.commit_shard(

@@ -44,6 +44,8 @@ def load_committed(out_dir: str, check_data: bool = True) -> dict[int, dict]:
                 if not line:
                     continue
                 rec = json.loads(line)
+                if rec.get("type", "shard") != "shard":
+                    continue  # retention / audit records are not commits
                 committed[rec["shard_id"]] = rec
     if check_data:
         committed = {
