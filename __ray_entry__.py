@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.q_dedup_exact,
         "embeddings_knn": q.q_embeddings_knn,
         "text_quality": t.q_text_quality,
+        "events_daily_extremes": q.q_events_daily_extremes,
+        "customers_per_region": q.q_customers_per_region,
+        "orders_monthly": q.q_orders_monthly,
         # rows-only: non-SQL-expressible operators
         "doc_fingerprints": t.q_doc_fingerprints,
         "text_quality_full": t.q_text_quality_full,
@@ -242,6 +245,37 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id
             LIMIT 5
+        """,
+        "events_daily_extremes": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+                   COUNT(*) AS value_count,
+                   ROUND(MIN(value), 6) AS value_min,
+                   ROUND(MAX(value), 6) AS value_max
+            FROM events
+            GROUP BY event_type, day_bucket
+            ORDER BY event_type, day_bucket
+        """,
+        "customers_per_region": """
+            SELECT r_name,
+                   COUNT(*) AS num_customers,
+                   ROUND(SUM(c_acctbal), 6) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name
+        """,
+        "orders_monthly": """
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS order_month,
+                   COUNT(*) AS price_count,
+                   ROUND(SUM(o_totalprice), 6) AS price_sum,
+                   ROUND(AVG(o_totalprice), 6) AS price_mean,
+                   ROUND(MIN(o_totalprice), 6) AS price_min,
+                   ROUND(MAX(o_totalprice), 6) AS price_max
+            FROM orders
+            GROUP BY order_month
+            ORDER BY order_month
         """,
         "text_quality": """
             SELECT source,

@@ -85,6 +85,10 @@ class TSMFE:
         names: list[str] = []
         vals: list[float] = []
         times: list[float] = []
+        # measure_time modes (reference tsmfe.py:128-165): "total" = wall
+        # time of the extraction method; "*_summ" adds summarization time;
+        # "avg*" divides by the number of output values the feature yields.
+        mode = self.measure_time or "total"
         for k in self._kernels:
             t0 = _time.perf_counter()
             try:
@@ -92,14 +96,22 @@ class TSMFE:
                     out = k.fn(self._ctx)
             except Exception:
                 out = np.nan
-            dt = _time.perf_counter() - t0
+            dt_extract = _time.perf_counter() - t0
             if k.returns_array:
                 arr = out if isinstance(out, np.ndarray) else np.asarray([np.nan])
+                t1 = _time.perf_counter()
+                summed: list[tuple[str, float]] = []
                 for s in self.summary:
                     for suffix, v in apply_summary(s, arr).items():
-                        names.append(f"{k.name}.{suffix}")
-                        vals.append(v)
-                        times.append(dt)
+                        summed.append((f"{k.name}.{suffix}", v))
+                dt_summ = _time.perf_counter() - t1
+                dt = dt_extract + (dt_summ if mode.endswith("_summ") else 0.0)
+                if mode.startswith("avg"):
+                    dt /= max(1, len(summed))
+                for name, v in summed:
+                    names.append(name)
+                    vals.append(v)
+                    times.append(dt)
             else:
                 try:
                     v = float(out)
@@ -107,7 +119,7 @@ class TSMFE:
                     v = np.nan
                 names.append(k.name)
                 vals.append(v)
-                times.append(dt)
+                times.append(dt_extract)
         order = np.argsort(names)
         names = [names[i] for i in order]
         vals = [vals[i] for i in order]

@@ -249,3 +249,61 @@ def q_embeddings_knn(sf_dir: str, k: int = 5, query_vec_id: int = 0) -> pd.DataF
     out = partials.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def q_events_daily_extremes(sf_dir: str) -> pd.DataFrame:
+    """Tumbling daily windows per event_type: count/min/max — a second
+    window granularity over the stream table (tiled windows)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        bucket = ts // (86400 * 1_000_000)
+        return batch.append_column("day_bucket", pa.array(bucket, pa.int64()))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    out = grouped_stats(ds, ["event_type", "day_bucket"], "value")
+    return out[["event_type", "day_bucket", "value_count", "value_min", "value_max"]]
+
+
+def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
+    """Two-hop broadcast join (region <- nation <- customer): both small
+    sides ship as dicts; no shuffle."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    n2r = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def joiner(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy()
+        rname = np.array([r2name.get(n2r.get(int(k), -1), "UNKNOWN") for k in nk])
+        df = pd.DataFrame({"r_name": rname, "bal": batch.column("c_acctbal").to_numpy()})
+        g = df.groupby("r_name").agg(
+            num_customers=("bal", "size"), total_acctbal=("bal", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(joiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("r_name").agg(
+        num_customers=("num_customers", "sum"), total_acctbal=("total_acctbal", "sum")
+    ).reset_index()
+    g["num_customers"] = g["num_customers"].astype("int64")
+    g["total_acctbal"] = g["total_acctbal"].round(ROUND)
+    return g.sort_values("r_name").reset_index(drop=True)
+
+
+def q_orders_monthly(sf_dir: str) -> pd.DataFrame:
+    """Calendar-month rollup of orders (date-function scalar op)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def add_month(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_pandas()
+        ym = (d.dt.year * 100 + d.dt.month).astype("int64")
+        return batch.append_column("order_month", pa.array(ym.to_numpy(), pa.int64()))
+
+    ds = ds.map_batches(add_month, batch_format="pyarrow")
+    return grouped_stats(ds, ["order_month"], "o_totalprice", out_prefix="price")
