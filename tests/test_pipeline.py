@@ -177,3 +177,43 @@ def test_retention_prunes_tier_dirs(ray_session, seq_dir_small, tmp_path_factory
     with open(f"{out}/manifest.jsonl") as f:
         recs = [json.loads(l) for l in f if l.strip()]
     assert any(r.get("type") == "retention" for r in recs)
+
+
+def test_true_sigkill_resume(ray_session, seq_dir_small, tmp_path_factory):
+    """Hard-kill (SIGKILL) a rollup subprocess mid-job, then resume in a
+    fresh process: final manifest fingerprint must equal a straight run's."""
+    import json
+    import subprocess
+    import sys
+    import time as _t
+
+    out = str(tmp_path_factory.mktemp("tiers_kill"))
+    code = f"""
+import ray, logging
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+logging.getLogger("ray.data").setLevel(logging.ERROR)
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from ts_pymfe_ray.pipelines import flagship
+flagship.run_rollup({seq_dir_small!r}, {out!r}, num_shards=4)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", code], cwd="/root/repo",
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    # wait for the first shard commit, then SIGKILL the whole job
+    manifest = os.path.join(out, "manifest.jsonl")
+    for _ in range(600):
+        if os.path.exists(manifest) and os.path.getsize(manifest) > 0:
+            break
+        _t.sleep(0.1)
+    proc.kill()
+    proc.wait()
+    committed_after_kill = sum(1 for l in open(manifest) if l.strip()) if os.path.exists(manifest) else 0
+    assert committed_after_kill >= 1
+
+    # resume in-process (fresh logical run)
+    res = flagship.run_rollup(seq_dir_small, out, num_shards=4)
+    assert res["committed"] == 4
+
+    straight = str(tmp_path_factory.mktemp("tiers_straight"))
+    ref = flagship.run_rollup(seq_dir_small, straight, num_shards=4)
+    assert res["fingerprint"] == ref["fingerprint"]

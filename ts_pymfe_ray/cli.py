@@ -34,7 +34,7 @@ def _ensure_ray(num_cpus: int | None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ts_pymfe_ray")
-    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth"])
+    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention"])
     ap.add_argument("--input", help="sequences parquet dir")
     ap.add_argument("--output", help="output dir (rollup/features)")
     ap.add_argument("--num-shards", type=int, default=8)
@@ -43,8 +43,11 @@ def main(argv=None):
     ap.add_argument("--groups", default=None, help="comma-separated kernel groups")
     ap.add_argument("--max-cost", default="medium", choices=["cheap", "medium", "heavy"])
     ap.add_argument("--sf", type=float, default=None, help="synth: scale factor")
+    ap.add_argument("--drop-tiers", default="raw", help="retention: comma-separated tiers to age out")
     args = ap.parse_args(argv)
 
+    if args.job == "retention" and not args.output:
+        ap.error("--output (the tier dir) is required for retention")
     if args.job in ("rollup", "features", "source-rollup", "bootstrap") and not args.input:
         ap.error(f"--input is required for job '{args.job}'")
     if args.job in ("rollup", "features") and not args.output:
@@ -77,6 +80,11 @@ def main(argv=None):
         if args.output:
             df.to_parquet(args.output)
         print(json.dumps({"rows": len(df)}))
+    elif args.job == "retention":
+        from ts_pymfe_ray.state.retention import apply_retention
+
+        removed = apply_retention(args.output, tuple(args.drop_tiers.split(",")))
+        print(json.dumps({"removed": removed}))
     elif args.job == "bootstrap":
         from ts_pymfe_ray.pipelines.bootstrap import bootstrap_features
 
