@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_extremes": q.q_events_daily_extremes,
         "customers_per_region": q.q_customers_per_region,
         "orders_monthly": q.q_orders_monthly,
+        "events_value_var": q.q_events_value_var,
         # rows-only: non-SQL-expressible operators
         "doc_fingerprints": t.q_doc_fingerprints,
         "text_quality_full": t.q_text_quality_full,
@@ -245,6 +246,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id
             LIMIT 5
+        """,
+        "events_value_var": """
+            SELECT event_type,
+                   COUNT(*) AS value_count,
+                   ROUND(var_samp(value), 6) AS value_var
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_daily_extremes": """
             SELECT event_type,

@@ -115,3 +115,27 @@ def test_conformance_corpus_runs_clean(ind):
     assert finite > 0.85, f"only {finite:.0%} finite on corpus series {ind}"
     # z-scored stats invariants on corpus data
     assert abs(d["moving_avg.mean"]) < 1.0  # mean of z-scored rolling means
+
+
+def test_user_extension_surface():
+    """SURVEY.md §2.13: registering a FeatureKernel is the engine's
+    equivalent of adding an ft_ classmethod — it must flow through the
+    facade and the map_batches stage with no other wiring."""
+    import numpy as np
+
+    from ts_pymfe_ray.registry import REGISTRY, FeatureKernel, register
+
+    name = "zz_custom_abs_mean"
+    try:
+        register(FeatureKernel(
+            name, "general",
+            lambda c: float(np.abs(c.ts).mean()),
+            ref="user extension example",
+        ))
+        ts = np.array([-2.0, 2.0, -2.0, 2.0] * 50)
+        m = TSMFE(groups=("general",), max_cost="cheap")
+        names, vals = m.fit(ts).extract()
+        d = dict(zip(names, vals))
+        assert d[name] == 2.0
+    finally:
+        REGISTRY.pop(name, None)

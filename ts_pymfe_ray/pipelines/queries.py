@@ -307,3 +307,27 @@ def q_orders_monthly(sf_dir: str) -> pd.DataFrame:
 
     ds = ds.map_batches(add_month, batch_format="pyarrow")
     return grouped_stats(ds, ["order_month"], "o_totalprice", out_prefix="price")
+
+
+def q_events_value_var(sf_dir: str) -> pd.DataFrame:
+    """Mergeable variance per event_type: per-batch (n, sum, sumsq) partial
+    sketches -> exact sample variance at the merge — the same algebra the
+    tier rollup uses, SQL-checkable via var_samp."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "v": batch.column("value").to_numpy(),
+        })
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby("event_type").agg(n=("v", "size"), s1=("v", "sum"), s2=("v2", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("event_type").agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")).reset_index()
+    mean = g["s1"] / g["n"]
+    g["value_var"] = ((g["s2"] - g["n"] * mean**2) / (g["n"] - 1)).round(ROUND)
+    g["value_count"] = g["n"].astype("int64")
+    out = g[["event_type", "value_count", "value_var"]]
+    return out.sort_values("event_type").reset_index(drop=True)
