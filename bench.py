@@ -75,10 +75,14 @@ def run_rollup_bench(seq_dir: str, tag: str) -> dict:
     from ts_pymfe_ray.pipelines import flagship
 
     out = os.path.join(BENCH_OUT, f"tiers_{tag}")
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.perf_counter()
-    flagship.run_rollup(seq_dir, out, num_shards=4)
-    return {"sec": time.perf_counter() - t0, "out": out}
+    best = None
+    for _ in range(2):  # best-of-2: first run may still be absorbing cache
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        flagship.run_rollup(seq_dir, out, num_shards=4)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {"sec": best, "out": out}
 
 
 def run_features_bench(seq_dir: str, tag: str, max_cost: str = "cheap") -> dict:

@@ -217,3 +217,13 @@ flagship.run_rollup({seq_dir_small!r}, {out!r}, num_shards=4)
     straight = str(tmp_path_factory.mktemp("tiers_straight"))
     ref = flagship.run_rollup(seq_dir_small, straight, num_shards=4)
     assert res["fingerprint"] == ref["fingerprint"]
+
+
+def test_rollup_with_compressor_actor_pool(ray_session, seq_dir_small, tmp_path_factory):
+    """Actor-pool variant of the compressor stage produces identical output
+    (fingerprint) to the stateless-task variant."""
+    out_t = str(tmp_path_factory.mktemp("tiers_tasks"))
+    out_a = str(tmp_path_factory.mktemp("tiers_actors"))
+    r1 = flagship.run_rollup(seq_dir_small, out_t, num_shards=2)
+    r2 = flagship.run_rollup(seq_dir_small, out_a, num_shards=2, compressor_actors=2)
+    assert r1["fingerprint"] == r2["fingerprint"]

@@ -126,12 +126,14 @@ def _postprocess(vals: np.ndarray, shift: bool) -> np.ndarray:
     return vals
 
 
-def _mk_moving(stat_fn, shift: bool):
+def _mk_moving(name: str, stat_fn, shift: bool):
     def fn(c: SeriesCtx) -> np.ndarray:
         w = _window_of(c)
         if w < 2 or c.ts.size < w:
             return np.full(1, np.nan)
-        vals = stat_fn(c.ts_scaled, w)
+        # base rolling stat cached per row: the _shift variant reuses the
+        # non-shift computation instead of recomputing the sliding sums
+        vals = c._get(f"mv_{name}_{w}", lambda: stat_fn(c.ts_scaled, w))
         vals = vals[~np.isnan(vals)] if not shift else vals
         return _postprocess(vals, shift)
 
@@ -147,9 +149,9 @@ for _name, _fn, _ref in (
     ("moving_acf", moving_acf1, "local_stats.py:1031"),
     ("moving_gmean", moving_gmean, "local_stats.py:1162"),
 ):
-    register(FeatureKernel(_name, "local_stats", _mk_moving(_fn, False),
+    register(FeatureKernel(_name, "local_stats", _mk_moving(_name, _fn, False),
                            returns_array=True, ref=_ref + " (O(n) sliding sketch)"))
-    register(FeatureKernel(_name + "_shift", "local_stats", _mk_moving(_fn, True),
+    register(FeatureKernel(_name + "_shift", "local_stats", _mk_moving(_name, _fn, True),
                            returns_array=True, ref=_ref + " shift variant"))
 
 

@@ -68,11 +68,18 @@ def run_rollup(
     store_tokens: bool = True,
     max_chunk_tokens: int = 1_048_576,
     max_shards: int | None = None,
+    compressor_actors: int | None = None,
 ) -> dict:
     """Tier-ladder rollup with exact shard-level checkpoint/resume.
 
     ``max_shards`` limits how many (uncommitted) shards to process this
     call — used by the kill/resume test to simulate a mid-job crash.
+
+    ``compressor_actors``: run the sketch+Gorilla stage as an actor pool of
+    that size (per-worker codec/scratch state built once — the north
+    rule's per-partition compressor-state shape).  Default None = stateless
+    tasks, which measure slightly faster in single-node local mode; on a
+    real multi-node cluster the actor pool amortizes per-worker setup.
     """
     files = list_parquet_files(input_dir)
     shards = shard_files(files, num_shards)
@@ -99,6 +106,13 @@ def run_rollup(
             batch_format="pyarrow",
             fn_kwargs={"max_chunk_tokens": max_chunk_tokens},
         )
+        if compressor_actors:
+            return ds.map_batches(
+                RollupStage,
+                fn_constructor_kwargs={"num_parts": num_parts, "store_tokens": store_tokens},
+                concurrency=compressor_actors,
+                batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+            )
         return ds.map_batches(
             stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
         )
