@@ -141,7 +141,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": t.q_lang_id,
         "multimodal_decode": q_multimodal_decode,
         "seq_bootstrap_ci": _q_seq_bootstrap_ci,
+        "seq_tier_diagnostics": _q_seq_tier_diagnostics,
     }
+
+
+def _q_seq_tier_diagnostics(sf_dir: str):
+    """Rows-only: continuous-aggregate analytics computed purely from the
+    compressed 10x tier streams (no raw-token access)."""
+    from ts_pymfe_ray.pipelines import flagship
+    from ts_pymfe_ray.pipelines.tier_analytics import tier_diagnostics
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    tag = os.path.basename(os.path.normpath(seq_dir))
+    out = os.path.join(_OUT_ROOT, f"tiers_{tag}")
+    flagship.run_rollup(seq_dir, out, num_shards=8)
+    return tier_diagnostics(out, tier="10x")
 
 
 def _q_seq_bootstrap_ci(sf_dir: str):

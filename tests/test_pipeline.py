@@ -227,3 +227,21 @@ def test_rollup_with_compressor_actor_pool(ray_session, seq_dir_small, tmp_path_
     r1 = flagship.run_rollup(seq_dir_small, out_t, num_shards=2)
     r2 = flagship.run_rollup(seq_dir_small, out_a, num_shards=2, compressor_actors=2)
     assert r1["fingerprint"] == r2["fingerprint"]
+
+
+def test_tier_analytics_from_compressed_streams(ray_session, seq_dir_small, tmp_path_factory):
+    """Consumption side of the ladder: per-source diagnostics computed
+    purely from compressed 10x tier rows — works even after the raw tier
+    has been aged out."""
+    from ts_pymfe_ray.pipelines.tier_analytics import tier_diagnostics
+    from ts_pymfe_ray.state import retention
+
+    out = str(tmp_path_factory.mktemp("tiers_analytics"))
+    flagship.run_rollup(seq_dir_small, out, num_shards=2)
+    retention.apply_retention(out, drop_tiers=("raw",))  # tokens are gone
+    df = tier_diagnostics(out, tier="10x")
+    assert df["n_docs"].sum() >= 400
+    assert (df["avg_window_acf1"].abs() <= 1.0).all()
+    # NaN allowed for sources whose docs are all too short for volatility
+    # (nw <= 2); the bulk sources must produce finite diagnostics
+    assert df["avg_sd_volatility"].notna().sum() >= 3
