@@ -245,3 +245,27 @@ def test_tier_analytics_from_compressed_streams(ray_session, seq_dir_small, tmp_
     # NaN allowed for sources whose docs are all too short for volatility
     # (nw <= 2); the bulk sources must produce finite diagnostics
     assert df["avg_sd_volatility"].notna().sum() >= 3
+
+
+def test_source_rollup_consistent_under_splitting(ray_session, seq_dir_small):
+    """Cross-series rollup must be invariant to hot-key splitting: chunk
+    rows contribute their windows at GLOBAL positions."""
+    import pandas as pd
+
+    from ts_pymfe_ray.sources.sequences import read_sequences
+    from ts_pymfe_ray.stages.rollup import split_long_rows
+    from ts_pymfe_ray.pipelines.flagship import _partial_sketches
+
+    def run(max_chunk):
+        ds = read_sequences(seq_dir_small)
+        ds = ds.map_batches(split_long_rows, batch_format="pyarrow",
+                            fn_kwargs={"max_chunk_tokens": max_chunk})
+        ds = ds.map_batches(_partial_sketches, batch_format="pyarrow",
+                            fn_kwargs={"tiers": ("100x",)})
+        df = (ds.groupby(["source", "tier", "window_id"])
+                .sum(["n", "s1", "s2"]).to_pandas())
+        return df.sort_values(["source", "window_id"]).reset_index(drop=True)
+
+    whole = run(1_048_576)
+    split = run(6400)  # force splitting of every row > 6400 tokens
+    pd.testing.assert_frame_equal(whole, split, check_exact=False, rtol=1e-9)

@@ -240,13 +240,19 @@ def _partial_sketches(batch: pa.Table, tiers=("raw", "10x", "100x")) -> pa.Table
 
     views, _, _ = tokens_views(batch)
     sources = batch.column("source").to_pylist()
+    # hot-key-split chunk rows carry a window_offset; their windows must
+    # land at GLOBAL positions (offset // bucket), not restart at 0
+    offsets = (
+        batch.column("window_offset").to_numpy()
+        if "window_offset" in batch.column_names
+        else np.zeros(len(views), dtype=np.int64)
+    )
     src_names = sorted(set(sources))
     src_id = {s: i for i, s in enumerate(src_names)}
     tier_names = list(tiers)
     tier_id = {t: i for i, t in enumerate(tier_names)}
 
     mats: list[np.ndarray] = []
-    keys: list[np.ndarray] = []
     max_wid = 1
     per_row_tiers = []
     for i, tok in enumerate(views):
@@ -256,15 +262,17 @@ def _partial_sketches(batch: pa.Table, tiers=("raw", "10x", "100x")) -> pa.Table
         per_tier["100x"] = sk.merge_adjacent(per_tier["10x"], 10)
         for tier in tiers:
             mat = per_tier[tier]
+            bucket = RAW_BUCKET * TIER_FACTORS[tier]
+            base = int(offsets[i]) // bucket
             mats.append(mat)
-            per_row_tiers.append((src_id[sources[i]], tier_id[tier], mat.shape[0]))
-            max_wid = max(max_wid, mat.shape[0])
+            per_row_tiers.append((src_id[sources[i]], tier_id[tier], mat.shape[0], base))
+            max_wid = max(max_wid, base + mat.shape[0])
     if not mats:
         return pa.table({n: pa.array([], _PARTIAL_SCHEMA.field(n).type) for n in _PARTIAL_SCHEMA.names})
     big = np.vstack(mats)
     key_parts = np.concatenate([
-        (np.full(nw, s, dtype=np.int64) * len(tier_names) + t) * max_wid + np.arange(nw)
-        for s, t, nw in per_row_tiers
+        (np.full(nw, s, dtype=np.int64) * len(tier_names) + t) * max_wid + base + np.arange(nw)
+        for s, t, nw, base in per_row_tiers
     ])
     # sort-group-reduce: one argsort, then reduceat per field — no Python
     # per-window loop
