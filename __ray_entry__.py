@@ -142,7 +142,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "seq_bootstrap_ci": _q_seq_bootstrap_ci,
         "seq_tier_diagnostics": _q_seq_tier_diagnostics,
+        "seq_fast_features": _q_seq_fast_features,
     }
+
+
+def _q_seq_fast_features(sf_dir: str):
+    """Rows-only: sketch-derived fast feature pass (ladder-speed) -> per
+    source averages."""
+    from ts_pymfe_ray.stages.fast_features import run_fast_features
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    df = run_fast_features(seq_dir).to_pandas()
+    num_cols = [c for c in df.columns if c not in ("doc_id", "source", "part_id")]
+    g = df.groupby("source")[num_cols].mean().round(6).reset_index()
+    return g.sort_values("source").reset_index(drop=True)
 
 
 def _q_seq_tier_diagnostics(sf_dir: str):

@@ -119,6 +119,17 @@ def single_run(sf_dir: str, num_cpus: int, jobs: list[str]) -> dict:
         queries["rollup_ladder"] = round(r["sec"], 3)
         throughput["rollup_seqs_per_sec"] = round(rows / r["sec"], 1)
         throughput["rollup_tokens_per_sec"] = round(toks / r["sec"], 1)
+    if "fast_features" in jobs:
+        from ts_pymfe_ray.stages.fast_features import run_fast_features
+
+        out_ff = os.path.join(BENCH_OUT, f"fastfeat_{tag}")
+        shutil.rmtree(out_ff, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_fast_features(seq_dir, out_ff)
+        dt = time.perf_counter() - t0
+        queries["features_fast_sketch"] = round(dt, 3)
+        throughput["fast_features_seqs_per_sec"] = round(rows / dt, 1)
+        throughput["fast_features_tokens_per_sec"] = round(toks / dt, 1)
     if "features" in jobs:
         r = run_features_bench(seq_dir, tag, max_cost="cheap")
         queries["features_cheap"] = round(r["sec"], 3)
@@ -203,7 +214,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
-    ap.add_argument("--jobs", default="rollup,features,source_rollup,events")
+    ap.add_argument("--jobs", default="rollup,fast_features,features,source_rollup,events")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--single-run", action="store_true")
     args = ap.parse_args()

@@ -269,3 +269,30 @@ def test_source_rollup_consistent_under_splitting(ray_session, seq_dir_small):
     whole = run(1_048_576)
     split = run(6400)  # force splitting of every row > 6400 tokens
     pd.testing.assert_frame_equal(whole, split, check_exact=False, rtol=1e-9)
+
+
+def test_fast_features_match_full_kernels(ray_session, seq_dir_small, tmp_path_factory):
+    """Sketch-derived fast features equal the registry kernels' values on
+    the same (uncapped) series."""
+    import pandas as pd
+
+    from ts_pymfe_ray.stages.fast_features import run_fast_features
+
+    df = run_fast_features(seq_dir_small).to_pandas().set_index("doc_id")
+    src = pads.dataset(seq_dir_small, format="parquet").to_table(columns=["doc_id", "tokens"])
+    originals = dict(zip(src.column("doc_id").to_pylist(), src.column("tokens").to_pylist()))
+    from ts_pymfe_ray.functions.stats import skewness, kurtosis
+
+    for doc_id in list(df.index)[:40]:
+        x = gap_fill(np.asarray(originals[doc_id], dtype=np.int32))
+        row = df.loc[doc_id]
+        assert row["length"] == x.size
+        assert row["mean"] == pytest.approx(x.mean(), rel=1e-12)
+        assert row["var"] == pytest.approx(x.var(ddof=1), rel=1e-9)
+        assert row["skewness"] == pytest.approx(skewness(x), abs=1e-9)
+        assert row["kurtosis"] == pytest.approx(kurtosis(x), abs=1e-8)
+        d = np.diff(x)
+        assert row["diff_sd"] == pytest.approx(d.std(ddof=1), rel=1e-9)
+        mu = x.mean()
+        acf1 = ((x[:-1] - mu) * (x[1:] - mu)).sum() / ((x - mu) ** 2).sum()
+        assert row["acf1"] == pytest.approx(acf1, abs=1e-9)
