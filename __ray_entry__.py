@@ -143,7 +143,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_bootstrap_ci": _q_seq_bootstrap_ci,
         "seq_tier_diagnostics": _q_seq_tier_diagnostics,
         "seq_fast_features": _q_seq_fast_features,
+        "seq_token_histogram": _q_seq_token_histogram,
     }
+
+
+def _q_seq_token_histogram(sf_dir: str):
+    """Rows-only: mergeable fixed-edge token histogram rollup per source
+    with bin-resolution quantile estimates."""
+    from ts_pymfe_ray.pipelines.flagship import token_histogram_by_source
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    return token_histogram_by_source(ensure_sequences_for_dir(sf_dir))
 
 
 def _q_seq_fast_features(sf_dir: str):

@@ -296,3 +296,22 @@ def test_fast_features_match_full_kernels(ray_session, seq_dir_small, tmp_path_f
         mu = x.mean()
         acf1 = ((x[:-1] - mu) * (x[1:] - mu)).sum() / ((x - mu) ** 2).sum()
         assert row["acf1"] == pytest.approx(acf1, abs=1e-9)
+
+
+def test_token_histogram_quantiles(ray_session, seq_dir_small):
+    """Mergeable histogram rollup: quantile estimates within one bin width
+    of exact quantiles computed directly."""
+    from ts_pymfe_ray.pipelines.flagship import token_histogram_by_source
+
+    df = token_histogram_by_source(seq_dir_small).set_index("source")
+    src = pads.dataset(seq_dir_small, format="parquet").to_table(columns=["source", "tokens"])
+    by_src: dict[str, list] = {}
+    for s, toks in zip(src.column("source").to_pylist(), src.column("tokens").to_pylist()):
+        by_src.setdefault(s, []).extend(t for t in toks if t >= 0)
+    width = 65536 / 256
+    for s, vals in by_src.items():
+        vals = np.asarray(vals)
+        assert df.loc[s, "n_tokens"] == vals.size
+        for q, col in ((0.5, "q50_est"), (0.95, "q95_est")):
+            exact = np.quantile(vals, q)
+            assert abs(df.loc[s, col] - exact) <= width + 1, (s, col)

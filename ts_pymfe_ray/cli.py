@@ -34,7 +34,7 @@ def _ensure_ray(num_cpus: int | None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ts_pymfe_ray")
-    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention"])
+    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention", "fast-features"])
     ap.add_argument("--input", help="sequences parquet dir")
     ap.add_argument("--output", help="output dir (rollup/features)")
     ap.add_argument("--num-shards", type=int, default=8)
@@ -48,7 +48,7 @@ def main(argv=None):
 
     if args.job == "retention" and not args.output:
         ap.error("--output (the tier dir) is required for retention")
-    if args.job in ("rollup", "features", "source-rollup", "bootstrap") and not args.input:
+    if args.job in ("rollup", "features", "source-rollup", "bootstrap", "fast-features") and not args.input:
         ap.error(f"--input is required for job '{args.job}'")
     if args.job in ("rollup", "features") and not args.output:
         ap.error(f"--output is required for job '{args.job}'")
@@ -80,6 +80,14 @@ def main(argv=None):
         if args.output:
             df.to_parquet(args.output)
         print(json.dumps({"rows": len(df)}))
+    elif args.job == "fast-features":
+        from ts_pymfe_ray.stages.fast_features import run_fast_features
+
+        if args.output:
+            run_fast_features(args.input, args.output)
+            print(json.dumps({"out": args.output}))
+        else:
+            print(json.dumps({"rows": run_fast_features(args.input).count()}))
     elif args.job == "retention":
         from ts_pymfe_ray.state.retention import apply_retention
 

@@ -346,3 +346,50 @@ def flagship(sf_dir_or_input: str, out_root: str = DEFAULT_OUT_ROOT) -> dict:
     res_r = run_rollup(seq_dir, os.path.join(out_root, tag, "tiers"))
     res_f = run_features(seq_dir, os.path.join(out_root, tag, "features"))
     return {"rollup": res_r, "features": res_f, "sequences": seq_dir}
+
+
+def token_histogram_by_source(input_dir: str, num_bins: int = 256) -> "pd.DataFrame":
+    """Mergeable fixed-edge histogram rollup (SURVEY.md §2.2: histograms
+    are mergeable when bin edges are fixed): per-source 256-bin counts over
+    the bounded token domain [0, 65535], with exact-to-bin-resolution
+    quantile estimates.  Partial bincounts per batch, one tiny groupby."""
+    import pandas as pd
+
+    from ts_pymfe_ray.stages.rollup import tokens_views
+
+    width = 65536 // num_bins
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        views, offsets, flat = tokens_views(batch)
+        sources = batch.column("source").to_pylist()
+        acc: dict[str, np.ndarray] = {}
+        for i, tok in enumerate(views):
+            valid = tok[tok >= 0]
+            h = np.bincount(np.minimum(valid // width, num_bins - 1), minlength=num_bins)
+            s = sources[i]
+            if s in acc:
+                acc[s] += h
+            else:
+                acc[s] = h.astype(np.int64)
+        return pa.table(
+            {
+                "source": list(acc.keys()),
+                "counts": pa.array([a.tolist() for a in acc.values()],
+                                   pa.list_(pa.int64(), num_bins)),
+            }
+        )
+
+    partials = read_sequences(input_dir).map_batches(
+        combiner, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows = []
+    for source, grp in partials.groupby("source"):
+        total = np.sum(np.stack(grp["counts"].to_numpy()), axis=0)
+        n = total.sum()
+        cum = np.cumsum(total)
+        qs = {}
+        for q in (0.25, 0.5, 0.75, 0.95):
+            b = int(np.searchsorted(cum, q * n))
+            qs[f"q{int(q*100)}_est"] = float((b + 0.5) * width)
+        rows.append({"source": source, "n_tokens": int(n), **qs})
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
