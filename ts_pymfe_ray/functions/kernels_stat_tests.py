@@ -72,12 +72,30 @@ def _adf_stat(x: np.ndarray, maxlag: int) -> float:
 
 _TEST_REPS = {"za": 400, "adf": 2000, "pp": 2000, "dfgls": 2000, "lilliefors": 3000}
 
+# tables shipped from the driver (FeatureStage preseeds these so an actor
+# pool of N workers does not pay N simulation builds)
+_PRESEEDED: dict[tuple[str, int], np.ndarray] = {}
+_SIM_TESTS = ("adf", "pp", "dfgls", "za", "lilliefors")
+
+
+def build_null_tables(buckets: tuple[int, ...] = (512,)) -> dict[tuple[str, int], np.ndarray]:
+    """Build every simulated null table for the given n-buckets (driver-side
+    pre-seed for actor pools)."""
+    return {(t, nb): _null_table(t, nb) for t in _SIM_TESTS for nb in buckets}
+
+
+def preseed_null_tables(tables: dict[tuple[str, int], np.ndarray]) -> None:
+    _PRESEEDED.update(tables)
+
 
 @functools.lru_cache(maxsize=32)
 def _null_table(test: str, nb: int) -> np.ndarray:
     """Simulated null distribution of a unit-root/normality statistic.
     Replicate counts are tuned per test so the one-time per-process table
     build stays under ~1s per (test, n-bucket)."""
+    pre = _PRESEEDED.get((test, nb))
+    if pre is not None:
+        return pre
     rng = np.random.Generator(np.random.PCG64(987654321 + nb))
     reps = _TEST_REPS.get(test, _SIM_REPS)
     stats = np.empty(reps)

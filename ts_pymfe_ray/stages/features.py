@@ -37,8 +37,20 @@ class FeatureStage:
         self.columns = feature_columns(self.kernels)
         self.cap = cap
         self.num_parts = num_parts
+        # driver-side pre-seed: simulated stat-test null tables ship with
+        # the stage instead of being rebuilt in every worker process
+        self._null_tables = None
+        if any(k.group == "stat_tests" and k.cost == "heavy" for k in self.kernels):
+            from ts_pymfe_ray.functions.kernels_stat_tests import build_null_tables
+
+            buckets = tuple(sorted({min(cap, 1024), 512} | {min(cap, 1024)}))
+            self._null_tables = build_null_tables(buckets)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._null_tables is not None:
+            from ts_pymfe_ray.functions.kernels_stat_tests import preseed_null_tables
+
+            preseed_null_tables(self._null_tables)
         views, _, _ = tokens_views(batch)
         doc_ids = batch.column("doc_id").to_pylist()
         sources = batch.column("source").to_pylist()
