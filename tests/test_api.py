@@ -139,3 +139,17 @@ def test_user_extension_surface():
         assert d[name] == 2.0
     finally:
         REGISTRY.pop(name, None)
+
+
+def test_rescale_and_parse_by_group():
+    ts = np.random.default_rng(4).normal(5.0, 2.0, size=200)
+    m = TSMFE(groups=("global_stats",), max_cost="cheap", enable_parallel=True)
+    names, vals = m.fit(ts, rescale="min-max").extract()
+    d = dict(zip(names, vals))
+    # min-max scaled: trimmed mean within [0, 1] (t_mean is global_stats)
+    assert 0.0 <= d["t_mean"] <= 1.0
+    with pytest.raises(ValueError):
+        m.fit(ts, rescale="nope")
+    groups = TSMFE.parse_by_group()
+    assert set(groups) == set(VALID_GROUPS)
+    assert sum(len(v) for v in groups.values()) == 149

@@ -56,7 +56,11 @@ class TSMFE:
         random_state: t.Optional[int] = None,
         max_cost: str = "heavy",
         analysis_cap: int = DEFAULT_ANALYSIS_CAP,
+        enable_parallel: bool = False,
     ):
+        # enable_parallel: accepted for reference-signature compatibility;
+        # the reference documents it as unimplemented (tsmfe.py:834-837) and
+        # in this engine parallelism lives in the Ray pipelines, not here.
         if isinstance(groups, str):
             groups = VALID_GROUPS if groups == "all" else (groups,)
         unknown = set(groups) - set(VALID_GROUPS)
@@ -71,10 +75,26 @@ class TSMFE:
         self._kernels = kernels_of(self.groups, max_cost=max_cost)
         self._ctx: SeriesCtx | None = None
 
-    def fit(self, ts: np.ndarray) -> "TSMFE":
+    def fit(self, ts: np.ndarray, rescale: t.Optional[str] = None) -> "TSMFE":
+        """``rescale``: None | "standard" | "min-max" | "robust" — applied to
+        the series before extraction (reference _internal.py:156-162,
+        1569-1609)."""
         ts = np.asarray(ts, dtype=np.float64).ravel()
         if ts.size == 0:
             raise ValueError("empty time-series")
+        if rescale is not None:
+            if rescale == "standard":
+                sd = ts.std()
+                ts = (ts - ts.mean()) / (sd if sd > 0 else 1.0)
+            elif rescale == "min-max":
+                rng_ = ts.max() - ts.min()
+                ts = (ts - ts.min()) / (rng_ if rng_ > 0 else 1.0)
+            elif rescale == "robust":
+                med = np.median(ts)
+                iqr = np.quantile(ts, 0.75) - np.quantile(ts, 0.25)
+                ts = (ts - med) / (iqr if iqr > 0 else 1.0)
+            else:
+                raise ValueError(f"unknown rescale {rescale!r}")
         seed_tag = f"tsmfe:{self.random_state}:{ts.size}"
         self._ctx = SeriesCtx(ts, doc_id=seed_tag, cap=self.analysis_cap)
         return self
@@ -163,6 +183,16 @@ class TSMFE:
     @classmethod
     def valid_metafeatures(cls, groups: t.Sequence[str] | None = None) -> tuple:
         return tuple(k.name for k in kernels_of(groups))
+
+    @classmethod
+    def parse_by_group(
+        cls, groups: t.Sequence[str] | None = None
+    ) -> dict[str, tuple[str, ...]]:
+        """{group: (feature names...)} (reference tsmfe.py:1250-1529)."""
+        out: dict[str, list[str]] = {}
+        for k in kernels_of(groups):
+            out.setdefault(k.group, []).append(k.name)
+        return {g: tuple(v) for g, v in out.items()}
 
     @classmethod
     def metafeature_description(cls) -> list[tuple[str, str, str]]:
