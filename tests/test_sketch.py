@@ -59,3 +59,60 @@ def test_merge_two_and_unordered():
     # unordered merge: moments exact, comoment drops cross terms
     un = sk.merge_unordered(np.stack([a, b]))
     np.testing.assert_allclose(un[:5], direct[:5], rtol=1e-12)
+
+
+def test_rollup_stage_degenerate_rows():
+    """Single-token, all-sentinel, constant and EMPTY rows flow through the
+    rollup stage; raw-tier round trip stays exact."""
+    import pyarrow as pa
+
+    from ts_pymfe_ray.stages.rollup import RollupStage, decode_tier_row, split_long_rows
+
+    toks = [
+        np.array([7], dtype=np.int32),
+        np.full(100, -1, dtype=np.int32),
+        np.full(130, 42, dtype=np.int32),
+        np.array([], dtype=np.int32),
+    ]
+    batch = pa.table({
+        "doc_id": [f"edge-{i}" for i in range(len(toks))],
+        "tokens": pa.array(list(toks), pa.list_(pa.int32())),
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": ["web"] * len(toks),
+    })
+    out = RollupStage()(split_long_rows(batch))
+    assert out.num_rows == 3 * len(toks)
+    for r in out.to_pylist():
+        dec = decode_tier_row(r)
+        assert dec["mean"].size == r["n_windows"]
+        if r["tier"] == "raw":
+            i = int(r["doc_id"].split("-")[1])
+            assert np.array_equal(dec["tokens"], toks[i].astype(np.int64))
+
+
+@given(
+    lengths=st.lists(st.integers(0, 900), min_size=1, max_size=12),
+    seed=st.integers(0, 100),
+)
+@settings(max_examples=40, deadline=None)
+def test_rollup_stage_fuzz_roundtrip(lengths, seed):
+    """Hypothesis fuzz over arbitrary batch shapes: every raw row's token
+    blob round-trips and stream lengths match window counts."""
+    import pyarrow as pa
+
+    from ts_pymfe_ray.stages.rollup import RollupStage, decode_tier_row
+
+    rng = np.random.default_rng(seed)
+    toks = [rng.integers(-1, 65536, size=n).astype(np.int32) for n in lengths]
+    batch = pa.table({
+        "doc_id": [f"f{i}" for i in range(len(toks))],
+        "tokens": pa.array(list(toks), pa.list_(pa.int32())),
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": ["web"] * len(toks),
+    })
+    out = RollupStage()(batch).to_pylist()
+    raw = {r["doc_id"]: r for r in out if r["tier"] == "raw"}
+    for i, t in enumerate(toks):
+        dec = decode_tier_row(raw[f"f{i}"])
+        assert np.array_equal(dec["tokens"], t.astype(np.int64))
+        assert dec["var"].size == raw[f"f{i}"]["n_windows"]
