@@ -181,6 +181,13 @@ class TSMFE:
         return VALID_GROUPS
 
     @classmethod
+    def valid_summary(cls) -> tuple:
+        """All 32 summary reducer names (reference tsmfe.py:1264)."""
+        from ts_pymfe_ray.functions.summary import SUMMARY_METHODS
+
+        return tuple(sorted(SUMMARY_METHODS))
+
+    @classmethod
     def valid_metafeatures(cls, groups: t.Sequence[str] | None = None) -> tuple:
         return tuple(k.name for k in kernels_of(groups))
 
