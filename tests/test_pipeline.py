@@ -315,3 +315,32 @@ def test_token_histogram_quantiles(ray_session, seq_dir_small):
         for q, col in ((0.5, "q50_est"), (0.95, "q95_est")):
             exact = np.quantile(vals, q)
             assert abs(df.loc[s, col] - exact) <= width + 1, (s, col)
+
+
+def test_resume_recomputes_when_input_files_change(ray_session, seq_dir_small, tmp_path_factory):
+    """Appending input files changes shard composition; affected committed
+    shards must recompute rather than silently serve stale output."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src_dir = str(tmp_path_factory.mktemp("seq_grow"))
+    files = sorted(os.listdir(seq_dir_small))
+    pq_files = [f for f in files if f.endswith(".parquet")]
+    for f in pq_files[:-1]:
+        shutil.copy(os.path.join(seq_dir_small, f), os.path.join(src_dir, f))
+
+    out = str(tmp_path_factory.mktemp("tiers_grow"))
+    r1 = flagship.run_rollup(src_dir, out, num_shards=2)
+    rows_before = len(_load_rows(out))
+
+    # append the held-out file — shard composition changes
+    shutil.copy(os.path.join(seq_dir_small, pq_files[-1]), os.path.join(src_dir, pq_files[-1]))
+    r2 = flagship.run_rollup(src_dir, out, num_shards=2)
+    rows_after = len(_load_rows(out))
+    assert rows_after > rows_before
+    assert r2["fingerprint"] != r1["fingerprint"]
+    # and the result equals a from-scratch run over the grown input
+    fresh = str(tmp_path_factory.mktemp("tiers_grow_fresh"))
+    r3 = flagship.run_rollup(src_dir, fresh, num_shards=2)
+    assert r2["fingerprint"] == r3["fingerprint"]

@@ -130,8 +130,20 @@ def run_rollup(
                 (time.perf_counter() - t0) * 1000.0,
             )
 
+    def _stale(sid: int, shard: list[str]) -> bool:
+        """A committed shard whose input-file list changed (files appended
+        or resharded) must recompute — its manifest line no longer
+        describes the data it would produce."""
+        rec = committed.get(sid)
+        return rec is not None and rec.get("input_files") != sorted(shard)
+
     todo = [(sid, shard) for sid, shard in enumerate(shards)
-            if sid not in committed and shard]
+            if shard and (sid not in committed or _stale(sid, shard))]
+    for sid, shard in todo:
+        if _stale(sid, shard):
+            import shutil as _sh
+
+            _sh.rmtree(mf.shard_dir(out_dir, sid), ignore_errors=True)
     if max_shards is not None:
         todo = todo[:max_shards]
     # Overlap shard executions (each is an independent streaming Dataset
@@ -204,8 +216,17 @@ def run_features(
             mf.commit_shard(out_dir, sid, shard, config, rows, 0,
                             (time.perf_counter() - t0) * 1000.0)
 
+    def _stale(sid: int, shard: list[str]) -> bool:
+        rec = committed.get(sid)
+        return rec is not None and rec.get("input_files") != sorted(shard)
+
     todo = [(sid, shard) for sid, shard in enumerate(shards)
-            if sid not in committed and shard]
+            if shard and (sid not in committed or _stale(sid, shard))]
+    for sid, shard in todo:
+        if _stale(sid, shard):
+            import shutil as _sh
+
+            _sh.rmtree(mf.shard_dir(out_dir, sid), ignore_errors=True)
     plans = [(sid, shard, build(shard)) for sid, shard in todo]
     workers = _shard_workers(len(plans))
     if len(plans) == 1 or workers == 1:
