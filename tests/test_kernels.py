@@ -162,3 +162,31 @@ def test_ljung_box_pvalues():
         ar[i] = 0.8 * ar[i - 1] + e[i]
     p_ar = ljung_box_pvals(ar, 8)
     assert np.all(p_ar < 1e-6)  # strong autocorrelation rejected
+
+
+def test_golden_feature_values_stable():
+    """Regression net across refactors/rounds: cheap+medium kernel values on
+    six deterministic synthetic rows must match the recorded goldens.
+    Regenerate tests/golden_features.json deliberately when semantics
+    change (document why in the commit)."""
+    import json
+    import os
+
+    from ts_pymfe_ray.functions.gapfill import gap_fill
+    from ts_pymfe_ray.synth import make_row_tokens
+
+    path = os.path.join(os.path.dirname(__file__), "golden_features.json")
+    with open(path) as f:
+        golden = json.load(f)
+    ks = kernels_of(max_cost="medium")
+    for doc_id, expect in golden.items():
+        x = gap_fill(make_row_tokens(doc_id))
+        out = evaluate_row(x, doc_id, ks)
+        for name, gval in expect.items():
+            v = out[name]
+            if gval is None:
+                assert not np.isfinite(v), f"{doc_id}/{name}: expected NaN got {v}"
+            else:
+                assert np.isclose(v, gval, rtol=1e-7, atol=1e-9), (
+                    f"{doc_id}/{name}: {v} != golden {gval}"
+                )
