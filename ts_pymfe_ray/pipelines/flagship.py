@@ -200,8 +200,15 @@ def run_features(
         kwargs: dict = {"batch_format": "pyarrow", "zero_copy_batch": True, "batch_size": batch_size}
         if concurrency or max_cost == "heavy":
             # heavy packs (GP / model fits) -> actor pool: per-actor setup
-            # (kernel plan, sim tables) happens once per worker
-            kwargs["concurrency"] = concurrency or 4
+            # (kernel plan, sim tables) happens once per worker; size the
+            # pool to the cluster, leaving headroom for read/write tasks
+            if concurrency:
+                kwargs["concurrency"] = concurrency
+            else:
+                import ray as _ray
+
+                ncpu = int(_ray.cluster_resources().get("CPU", 8))
+                kwargs["concurrency"] = max(4, ncpu - 4)
             return ds.map_batches(
                 FeatureStage, fn_constructor_kwargs={"groups": groups, "max_cost": max_cost}, **kwargs
             )
