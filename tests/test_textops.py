@@ -119,3 +119,18 @@ def test_bootstrap_pipeline(ray_session, seq_dir_small):
         hi = c[:-3] + ".hi"
         ok = np.isfinite(df[c]) & np.isfinite(df[hi])
         assert (df[c][ok] <= df[hi][ok] + 1e-12).all()
+
+
+def test_query_determinism_across_runs(ray_session):
+    """Driver value-hash stability: repeated runs must produce identical
+    frames (unordered block arrival must not leak into results)."""
+    import pandas as pd
+
+    from ts_pymfe_ray.pipelines.queries import (
+        q_events_window_rollup, q_lineitem_pricing, q_embeddings_knn,
+    )
+
+    for fn in (q_events_window_rollup, q_lineitem_pricing, q_embeddings_knn):
+        a = fn(SF)
+        b = fn(SF)
+        pd.testing.assert_frame_equal(a, b)
