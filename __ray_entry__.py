@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": q.q_customers_per_region,
         "orders_monthly": q.q_orders_monthly,
         "events_value_var": q.q_events_value_var,
+        "events_user_window_rollup": q.q_events_user_window_rollup,
+        "events_user_window_rollup_10x": q.q_events_user_window_rollup_10x,
         # rows-only: non-SQL-expressible operators
         "doc_fingerprints": t.q_doc_fingerprints,
         "text_quality_full": t.q_text_quality_full,
@@ -285,6 +287,38 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id
             LIMIT 5
+        """,
+        "events_user_window_rollup": """
+            WITH ordered AS (
+                SELECT user_id, value,
+                       (row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) - 1) // 16
+                           AS window_id
+                FROM events
+            )
+            SELECT user_id, window_id,
+                   COUNT(*) AS value_count,
+                   ROUND(AVG(value), 6) AS value_mean,
+                   ROUND(var_samp(value), 6) AS value_var
+            FROM ordered
+            GROUP BY user_id, window_id
+            ORDER BY user_id, window_id
+        """,
+        "events_user_window_rollup_10x": """
+            WITH ordered AS (
+                SELECT user_id, value,
+                       (row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) - 1) // 160
+                           AS window_id
+                FROM events
+            )
+            SELECT user_id, window_id,
+                   COUNT(*) AS value_count,
+                   ROUND(AVG(value), 6) AS value_mean,
+                   ROUND(var_samp(value), 6) AS value_var
+            FROM ordered
+            GROUP BY user_id, window_id
+            ORDER BY user_id, window_id
         """,
         "events_value_var": """
             SELECT event_type,

@@ -331,3 +331,63 @@ def q_events_value_var(sf_dir: str) -> pd.DataFrame:
     g["value_count"] = g["n"].astype("int64")
     out = g[["event_type", "value_count", "value_var"]]
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_user_window_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
+    """THE north-star rollup math, SQL-checked: each user's chronological
+    event values form a series; non-overlapping positional windows of
+    ``bucket`` observations are aggregated with the SAME sketch kernels the
+    tier ladder uses (compute_window_sketches -> derive_features).  DuckDB
+    twin: row_number() partitioned windows with count/avg/var_samp."""
+    from ts_pymfe_ray.functions import sketch as sk
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        v = df["value"].to_numpy()
+        sketches = sk.compute_window_sketches(v, bucket)
+        feats = sk.derive_features(sketches)
+        nw = sketches.shape[0]
+        return pd.DataFrame(
+            {
+                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
+                "window_id": np.arange(nw, dtype=np.int64),
+                "value_count": feats["count"].astype(np.int64),
+                "value_mean": np.round(feats["mean"], ROUND),
+                "value_var": np.round(feats["var"], ROUND),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    # single-observation windows: SQL var_samp yields NULL; sketch yields NaN
+    return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
+
+
+def q_events_user_window_rollup_10x(sf_dir: str, bucket: int = 16, factor: int = 10) -> pd.DataFrame:
+    """Tier-MERGE algebra SQL-checked: bucket-16 sketches merged 10x
+    (merge_adjacent — the exact raw->10x ladder step) must equal direct
+    SQL aggregation over windows of 160 observations."""
+    from ts_pymfe_ray.functions import sketch as sk
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        v = df["value"].to_numpy()
+        fine = sk.compute_window_sketches(v, bucket)
+        merged = sk.merge_adjacent(fine, factor)  # the ladder step under test
+        feats = sk.derive_features(merged)
+        nw = merged.shape[0]
+        return pd.DataFrame(
+            {
+                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
+                "window_id": np.arange(nw, dtype=np.int64),
+                "value_count": feats["count"].astype(np.int64),
+                "value_mean": np.round(feats["mean"], ROUND),
+                "value_var": np.round(feats["var"], ROUND),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
