@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_var": q.q_events_value_var,
         "events_user_window_rollup": q.q_events_user_window_rollup,
         "events_user_window_rollup_10x": q.q_events_user_window_rollup_10x,
+        "events_user_window_acf1": q.q_events_user_window_acf1,
         # rows-only: non-SQL-expressible operators
         "doc_fingerprints": t.q_doc_fingerprints,
         "text_quality_full": t.q_text_quality_full,
@@ -318,6 +319,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(var_samp(value), 6) AS value_var
             FROM ordered
             GROUP BY user_id, window_id
+            ORDER BY user_id, window_id
+        """,
+        "events_user_window_acf1": """
+            WITH ordered AS (
+                SELECT user_id, value, rn, (rn - 1) // 16 AS window_id
+                FROM (
+                    SELECT user_id, value,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS rn
+                    FROM events
+                )
+            ), stats AS (
+                SELECT user_id, window_id, AVG(value) AS mu, COUNT(*) AS n
+                FROM ordered GROUP BY user_id, window_id
+            ), lagged AS (
+                SELECT o.user_id, o.window_id, o.value, s.mu, s.n,
+                       LAG(o.value) OVER (PARTITION BY o.user_id, o.window_id
+                                          ORDER BY o.rn) AS prev
+                FROM ordered o JOIN stats s
+                  ON o.user_id = s.user_id AND o.window_id = s.window_id
+            )
+            SELECT user_id, window_id,
+                   ROUND(SUM(CASE WHEN prev IS NOT NULL
+                                  THEN (value - mu) * (prev - mu) END)
+                         / SUM((value - mu) * (value - mu)), 6) AS acf1
+            FROM lagged
+            GROUP BY user_id, window_id
+            HAVING MAX(n) = 16 AND SUM((value - mu) * (value - mu)) > 0
             ORDER BY user_id, window_id
         """,
         "events_value_var": """

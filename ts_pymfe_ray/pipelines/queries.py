@@ -391,3 +391,31 @@ def q_events_user_window_rollup_10x(sf_dir: str, bucket: int = 16, factor: int =
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
+
+
+def q_events_user_window_acf1(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
+    """Window-local lag-1 autocorrelation from the comoment sketch,
+    SQL-checked: sum((x_i-mu)(x_{i+1}-mu))/sum((x_i-mu)^2) over full
+    windows — the exact per-window ACF of the tier ladder."""
+    from ts_pymfe_ray.functions import sketch as sk
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        v = df["value"].to_numpy()
+        sketches = sk.compute_window_sketches(v, bucket)
+        feats = sk.derive_features(sketches)
+        full = feats["count"] == bucket
+        ok = full & np.isfinite(feats["acf1"])
+        nw = int(ok.sum())
+        return pd.DataFrame(
+            {
+                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
+                "window_id": np.flatnonzero(ok).astype(np.int64),
+                "acf1": np.round(feats["acf1"][ok], ROUND),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
