@@ -195,18 +195,25 @@ register(FeatureKernel(
 
 def _surprise(c: SeriesCtx, num_bins: int = 10, memory_size: float = 0.1,
               num_it: int = 128, method: str = "distribution",
-              epsilon: float = 1e-8) -> np.ndarray:
+              diff_order: int = 1, epsilon: float = 1e-8) -> np.ndarray:
     """-log P(value | recent memory) at sampled reference points
-    (reference info_theory.py:991-1166), doc_id-seeded sampling."""
+    (reference info_theory.py:991-1166), doc_id-seeded sampling.
+
+    Faithful to the reference tail: operates on diff(ts, diff_order),
+    discretizes EQUIPROBABLE, zeroes probs below epsilon to 1.0 (so an
+    unseen value contributes surprise 0 — reference quirk kept), and the
+    probs array keeps its num_it length even when fewer reference indices
+    exist (trailing zeros -> 1.0 -> 0 surprise)."""
     ts = c.ts
     mem = int(np.ceil(ts.size * memory_size)) if 0 < memory_size < 1 else int(memory_size)
-    ts_bin = _discretize(ts, num_bins)
-    max_ind = ts.size
+    ts_diff = np.diff(ts, n=diff_order)
+    ts_bin = _discretize(ts_diff, num_bins, strategy="equiprobable")
+    max_ind = ts_diff.size
     if max_ind - mem > num_it:
         ref_inds = mem + c.rng.choice(max_ind - mem, size=num_it, replace=False)
     else:
         ref_inds = np.arange(mem, max_ind)
-    probs = np.empty(ref_inds.size)
+    probs = np.zeros(num_it)
     for k, ri in enumerate(ref_inds):
         window = ts_bin[ri - mem : ri]
         if method == "distribution":
@@ -215,7 +222,8 @@ def _surprise(c: SeriesCtx, num_bins: int = 10, memory_size: float = 0.1,
             prev = window[-1]
             mask = window[:-1] == prev
             probs[k] = np.mean(window[1:][mask] == ts_bin[ri]) if mask.any() else 0.0
-    return -np.log(probs + epsilon)
+    probs[probs < epsilon] = 1.0
+    return -np.log(probs)
 
 
 register(FeatureKernel("surprise", "info_theory", _surprise, returns_array=True,
