@@ -34,11 +34,24 @@ register(FeatureKernel(
     ref="autocorr.py:345",
 ))
 
+def _detrended_diff(c: SeriesCtx) -> np.ndarray:
+    """diff(ts) detrended with SuperSmoother — ft_acf_diff / ft_pacf_diff
+    default detrend=True (autocorr.py:391,512 -> _calc_acf detrend path)."""
+
+    def _build():
+        from ts_pymfe_ray.functions.decompose import supersmoother
+
+        d = np.diff(c.ts)
+        return d - supersmoother(d)
+
+    return c._get("detrended_diff", _build)
+
+
 register(FeatureKernel(
     "acf_diff", "autocorr",
-    lambda c: _st.acf(np.diff(c.ts), nlags=max(1, np.diff(c.ts).size // 2)),
-    returns_array=True,
-    ref="autocorr.py:391",
+    lambda c: _st.acf(_detrended_diff(c), nlags=max(1, (c.ts.size - 1) // 2)),
+    returns_array=True, cost="medium",
+    ref="autocorr.py:391 (detrend=True default: SS-detrended diff)",
 ))
 
 register(FeatureKernel(
@@ -57,9 +70,9 @@ register(FeatureKernel(
 
 register(FeatureKernel(
     "pacf_diff", "autocorr",
-    lambda c: _st.pacf_ld(np.diff(c.ts)),
-    returns_array=True,
-    ref="autocorr.py:512",
+    lambda c: _st.pacf_ld(_detrended_diff(c)),
+    returns_array=True, cost="medium",
+    ref="autocorr.py:512 (detrend=True default)",
 ))
 
 
