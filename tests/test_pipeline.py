@@ -207,6 +207,11 @@ flagship.run_rollup({seq_dir_small!r}, {out!r}, num_shards=4)
         _t.sleep(0.1)
     proc.kill()
     proc.wait()
+    # FENCE: the killed driver's raylet keeps its in-flight write tasks
+    # alive for a moment; wait for them to be reaped so zombie writers
+    # cannot race the resumed run's recompute of uncommitted shards
+    # (production guidance: SCALE.md §5 — fence the previous attempt).
+    _t.sleep(5)
     committed_after_kill = sum(1 for l in open(manifest) if l.strip()) if os.path.exists(manifest) else 0
     assert committed_after_kill >= 1
 
