@@ -173,42 +173,32 @@ def _hwes_adm(c: SeriesCtx) -> np.ndarray:
 _reg("model_hwes_adm", _hwes_adm, "landmarking.py:2079")
 
 
-def _model_acf_first_nonpos(c: SeriesCtx, make_model) -> float:
-    """First-nonpos ACF lag of the CV prediction errors
-    (landmarking.py:276-340, 2178-2252)."""
-    errors = []
-    y = c.ts
-    X = np.linspace(0, 1, y.size)
-    for tr, te in _cv.time_series_splits(y.size, 5):
-        try:
-            scaler = _cv.MinMax()
-            y_tr = scaler.fit_transform(y[tr])
-            y_te = scaler.transform(y[te])
-            m = make_model()
-            if hasattr(m, "fit_series"):
-                m.fit_series(y_tr)
-                pred = m.forecast(te.size)
-            else:
-                m.fit(X[tr], y_tr)
-                pred = np.asarray(m.predict(X[te])).ravel()
-            errors.append(y_te - pred)
-        except Exception:
-            continue
-    if not errors:
+def _acf_first_nonpos_score(pred: np.ndarray, true: np.ndarray) -> float:
+    """Per-fold score: first non-positive lag of the SS-DETRENDED ACF of
+    the prediction errors (reference _model_acf_first_nonpos scoring hook,
+    landmarking.py:276-340: score = ft_acf_first_nonpos(ts=pred - test)
+    which detrends by default)."""
+    from ts_pymfe_ray.functions.decompose import supersmoother
+
+    err = np.asarray(pred) - np.asarray(true)
+    if err.size < 5:
         return np.nan
-    err = np.concatenate(errors)
-    a = _st.acf(err, nlags=err.size // 2)
+    detr = err - supersmoother(err)
+    a = _st.acf(detr, nlags=err.size // 2)
     nonpos = np.flatnonzero(a <= 0)
     return float(nonpos[0] + 1) if nonpos.size else np.nan
 
 
 register(FeatureKernel(
     "model_mean_acf_first_nonpos", "landmarking",
-    lambda c: _model_acf_first_nonpos(c, lambda: _m.TSArima((0, 0, 0), const=True)),
-    cost="medium", ref="landmarking.py:2178",
+    lambda c: _fc(c, lambda: _m.TSArima((0, 0, 0), const=True),
+                  score=_acf_first_nonpos_score),
+    returns_array=True, cost="medium",
+    ref="landmarking.py:2178 (per-fold scores, detrended error ACF)",
 ))
 register(FeatureKernel(
     "model_linear_acf_first_nonpos", "landmarking",
-    lambda c: _model_acf_first_nonpos(c, _m.TSLinear),
-    cost="medium", ref="landmarking.py:2252",
+    lambda c: _sk(c, _m.TSLinear, score=_acf_first_nonpos_score),
+    returns_array=True, cost="medium",
+    ref="landmarking.py:2252",
 ))
