@@ -349,3 +349,24 @@ def test_resume_recomputes_when_input_files_change(ray_session, seq_dir_small, t
     fresh = str(tmp_path_factory.mktemp("tiers_grow_fresh"))
     r3 = flagship.run_rollup(src_dir, fresh, num_shards=2)
     assert r2["fingerprint"] == r3["fingerprint"]
+
+
+def test_attempt_lock_blocks_concurrent_writers(ray_session, seq_dir_small, tmp_path_factory):
+    """Two drivers must not double-write one output dir; a dead owner's
+    lock is stolen."""
+    from ts_pymfe_ray.state.manifest import AttemptLock
+
+    out = str(tmp_path_factory.mktemp("tiers_lock"))
+    with AttemptLock(out):
+        with pytest.raises(RuntimeError, match="locked by a live run"):
+            flagship.run_rollup(seq_dir_small, out, num_shards=2)
+    # lock released -> run proceeds
+    res = flagship.run_rollup(seq_dir_small, out, num_shards=2)
+    assert res["committed"] == 2
+    # stale lock (dead pid) is stolen transparently
+    import json as _json
+
+    with open(os.path.join(out, ".attempt_lock"), "w") as f:
+        f.write(_json.dumps({"pid": 999999999}))
+    res2 = flagship.run_rollup(seq_dir_small, out, num_shards=2)
+    assert res2["committed"] == 2

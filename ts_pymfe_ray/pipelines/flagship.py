@@ -89,6 +89,20 @@ def run_rollup(
         "store_tokens": store_tokens,
         "max_chunk_tokens": max_chunk_tokens,
     }
+    lock = mf.AttemptLock(out_dir).acquire()
+    try:
+        return _run_rollup_locked(
+            input_dir, out_dir, shards, config, resume, batch_size, num_parts,
+            store_tokens, max_chunk_tokens, max_shards, compressor_actors,
+        )
+    finally:
+        lock.release()
+
+
+def _run_rollup_locked(
+    input_dir, out_dir, shards, config, resume, batch_size, num_parts,
+    store_tokens, max_chunk_tokens, max_shards, compressor_actors,
+):
     if resume:
         mf.clean_uncommitted(out_dir, len(shards))
     committed = mf.load_committed(out_dir) if resume else {}

@@ -117,3 +117,61 @@ def manifest_fingerprint(out_dir: str) -> str:
         for _, rec in sorted(committed.items())
     ]
     return f"{stable_hash64(json.dumps(stable, sort_keys=True)):016x}"
+
+
+class AttemptLock:
+    """Advisory single-writer lock for an output directory.
+
+    Two drivers resuming the same out_dir concurrently would race
+    clean_uncommitted against each other's in-flight writes.  The lock is
+    an O_EXCL-created file holding the owner pid + host; a lock whose pid
+    is dead (same host) is stale and stolen.  This is the single-node
+    guard; on a multi-node deployment use the scheduler's job-level
+    mutual exclusion (SCALE.md §5 fencing) — the lock still protects
+    against accidental double-submits from one head node.
+    """
+
+    def __init__(self, out_dir: str):
+        self.path = os.path.join(out_dir, ".attempt_lock")
+        self.acquired = False
+
+    def acquire(self) -> "AttemptLock":
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        for _ in range(2):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(json.dumps({"pid": os.getpid()}))
+                self.acquired = True
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        owner = json.load(f)
+                    os.kill(int(owner["pid"]), 0)  # raises if dead
+                except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                    # stale (owner dead or lock corrupt): steal and retry
+                    try:
+                        os.unlink(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise RuntimeError(
+                    f"output dir is locked by a live run (pid {owner['pid']}); "
+                    "refusing to double-write"
+                )
+        raise RuntimeError("could not acquire attempt lock")
+
+    def release(self) -> None:
+        if self.acquired:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+            self.acquired = False
+
+    def __enter__(self):
+        return self.acquire()
+
+    def __exit__(self, *exc):
+        self.release()
