@@ -200,6 +200,16 @@ def run_features(
     files = list_parquet_files(input_dir)
     shards = shard_files(files, num_shards)
     config = {"job": "features", "groups": sorted(groups) if groups else None, "max_cost": max_cost}
+    lock = mf.AttemptLock(out_dir).acquire()
+    try:
+        return _run_features_locked(
+            out_dir, shards, config, resume, batch_size, groups, max_cost, concurrency,
+        )
+    finally:
+        lock.release()
+
+
+def _run_features_locked(out_dir, shards, config, resume, batch_size, groups, max_cost, concurrency):
     if resume:
         mf.clean_uncommitted(out_dir, len(shards))
     committed = mf.load_committed(out_dir) if resume else {}
