@@ -153,3 +153,22 @@ def test_rescale_and_parse_by_group():
     groups = TSMFE.parse_by_group()
     assert set(groups) == set(VALID_GROUPS)
     assert sum(len(v) for v in groups.values()) == 149
+
+
+def test_postprocessor_hook():
+    from ts_pymfe_ray.registry import POSTPROCESSORS, register_postprocessor
+
+    def add_ratio(out, ctx):
+        if "sd_diff" in out and "t_mean" in out and out["t_mean"]:
+            out["zz_post_ratio"] = out["sd_diff"] / out["t_mean"]
+
+    register_postprocessor(add_ratio)
+    try:
+        from ts_pymfe_ray.registry import evaluate_row, kernels_of
+
+        ts = np.abs(np.random.default_rng(6).normal(5, 1, 200))
+        out = evaluate_row(ts, "d", kernels_of(groups=("global_stats",), max_cost="cheap"))
+        assert "zz_post_ratio" in out
+        assert out["zz_post_ratio"] == pytest.approx(out["sd_diff"] / out["t_mean"])
+    finally:
+        POSTPROCESSORS.remove(add_ratio)

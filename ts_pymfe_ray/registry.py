@@ -145,10 +145,22 @@ class FeatureKernel:
 
 REGISTRY: dict[str, FeatureKernel] = {}
 
+# postprocess hooks (reference scans postprocess_* methods,
+# _internal.py:1711-1805 — a no-op in practice; the engine keeps the
+# extension point as an explicit registry)
+POSTPROCESSORS: list[t.Callable[[dict, "SeriesCtx"], None]] = []
+
 
 def register(k: FeatureKernel) -> FeatureKernel:
     REGISTRY[k.name] = k
     return k
+
+
+def register_postprocessor(fn: t.Callable[[dict, "SeriesCtx"], None]) -> t.Callable:
+    """Register a hook run after per-row extraction; it may mutate the
+    result dict in place (the engine's postprocess_* equivalent)."""
+    POSTPROCESSORS.append(fn)
+    return fn
 
 
 def kernels_of(groups: t.Iterable[str] | None = None, max_cost: str = "heavy") -> list[FeatureKernel]:
@@ -217,4 +229,9 @@ def evaluate_row(ts: np.ndarray, doc_id: str, kernels: list[FeatureKernel], cap:
                 out[k.name] = float(val)
             except (TypeError, ValueError):
                 out[k.name] = np.nan
+    for post in POSTPROCESSORS:
+        try:
+            post(out, ctx)
+        except Exception:
+            pass  # hooks must never fail a row (reference error policy)
     return out
