@@ -46,7 +46,28 @@ DETERMINISTIC = [
     ("moving_avg", "local_stats", "ft_moving_avg", 1e-9),
     ("moving_var", "local_stats", "ft_moving_var", 1e-9),
     ("moving_acf", "local_stats", "ft_moving_acf", 1e-7),
-    ("test_dw", "stat_tests", "ft_test_dw", 1e-9),
+    ("moving_sd", "local_stats", "ft_moving_sd", 1e-9),
+    ("moving_skewness", "local_stats", "ft_moving_skewness", 1e-8),
+    ("moving_kurtosis", "local_stats", "ft_moving_kurtosis", 1e-8),
+    ("moving_avg_shift", "local_stats", "ft_moving_avg_shift", 1e-9),
+    ("moving_kldiv", "local_stats", "ft_moving_kldiv", 1e-7),
+    ("local_extrema", "local_stats", "ft_local_extrema", 1e-9),
+    ("sd_residuals", "global_stats", "ft_sd_residuals", 1e-4),  # STL impl differs
+    ("ioe_tdelta_mean", "global_stats", "ft_ioe_tdelta_mean", 1e-8),
+    ("trev", "autocorr", "ft_trev", 1e-8),
+    ("tc3", "autocorr", "ft_tc3", 1e-8),
+    ("gen_autocorr", "autocorr", "ft_gen_autocorr", 1e-8),
+    ("acf_first_nonsig", "autocorr", "ft_acf_first_nonsig", 0.5),  # detrend impl differs
+    ("hist_ent_out_diff", "info_theory", "ft_hist_ent_out_diff", 1e-9),
+    ("approx_entropy", "info_theory", "ft_approx_entropy", 1e-8),
+    ("sample_entropy", "info_theory", "ft_sample_entropy", 1e-8),
+    ("ps_entropy", "freq_domain", "ft_ps_entropy", 1e-6),
+    ("low_freq_power", "freq_domain", "ft_low_freq_power", 1e-6),
+    ("ps_freqs", "freq_domain", "ft_ps_freqs", 1e-6),
+    ("test_lb", "stat_tests", "ft_test_lb", 1e-6),
+    ("test_earch", "stat_tests", "ft_test_earch", 1e-5),
+    ("linearity", "model_based", "ft_linearity", 1e-3),
+    ("curvature", "model_based", "ft_curvature", 1e-3),
 ]
 
 
