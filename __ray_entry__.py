@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_window_rollup": q.q_events_user_window_rollup,
         "events_user_window_rollup_10x": q.q_events_user_window_rollup_10x,
         "events_user_window_acf1": q.q_events_user_window_acf1,
+        "events_gapfill_rollup": q.q_events_gapfill_rollup,
         # rows-only: non-SQL-expressible operators
         "doc_fingerprints": t.q_doc_fingerprints,
         "text_quality_full": t.q_text_quality_full,
@@ -347,6 +348,45 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged
             GROUP BY user_id, window_id
             HAVING MAX(n) = 16 AND SUM((value - mu) * (value - mu)) > 0
+            ORDER BY user_id, window_id
+        """,
+        "events_gapfill_rollup": """
+            WITH ordered AS (
+                SELECT user_id,
+                       CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), ctx AS (
+                SELECT user_id, rn, v,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                       last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY rn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+                       first_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                       first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY rn
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+                FROM ordered
+            ), filled AS (
+                SELECT user_id, rn,
+                       CASE WHEN v IS NOT NULL THEN v
+                            WHEN pv IS NULL THEN nv
+                            WHEN nv IS NULL THEN pv
+                            ELSE pv + (nv - pv) * (rn - pi) / (ni - pi)
+                       END AS vf
+                FROM ctx
+            )
+            SELECT user_id, (rn - 1) // 16 AS window_id,
+                   COUNT(*) AS value_count,
+                   ROUND(AVG(vf), 6) AS value_mean
+            FROM filled
+            WHERE vf IS NOT NULL
+            GROUP BY user_id, window_id
             ORDER BY user_id, window_id
         """,
         "events_value_var": """

