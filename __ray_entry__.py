@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_window_rollup_10x": q.q_events_user_window_rollup_10x,
         "events_user_window_acf1": q.q_events_user_window_acf1,
         "events_gapfill_rollup": q.q_events_gapfill_rollup,
+        "events_user_window_moments": q.q_events_user_window_moments,
         # rows-only: non-SQL-expressible operators
         "doc_fingerprints": t.q_doc_fingerprints,
         "text_quality_full": t.q_text_quality_full,
@@ -387,6 +388,22 @@ def oracle_sql() -> dict[str, str]:
             FROM filled
             WHERE vf IS NOT NULL
             GROUP BY user_id, window_id
+            ORDER BY user_id, window_id
+        """,
+        "events_user_window_moments": """
+            WITH ordered AS (
+                SELECT user_id, value,
+                       (row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) - 1) // 16
+                           AS window_id
+                FROM events
+            )
+            SELECT user_id, window_id,
+                   ROUND(skewness(value), 6) AS value_skew,
+                   ROUND(kurtosis(value), 6) AS value_kurt
+            FROM ordered
+            GROUP BY user_id, window_id
+            HAVING COUNT(*) = 16
             ORDER BY user_id, window_id
         """,
         "events_value_var": """

@@ -370,3 +370,21 @@ def test_attempt_lock_blocks_concurrent_writers(ray_session, seq_dir_small, tmp_
         f.write(_json.dumps({"pid": 999999999}))
     res2 = flagship.run_rollup(seq_dir_small, out, num_shards=2)
     assert res2["committed"] == 2
+
+
+def test_explode_tier_relational_view(ray_session, seq_dir_small, tmp_path_factory):
+    """explode_tier turns compressed blobs into per-window rows equal to
+    direct computation."""
+    from ts_pymfe_ray.pipelines.tier_analytics import explode_tier
+
+    out = str(tmp_path_factory.mktemp("tiers_explode"))
+    flagship.run_rollup(seq_dir_small, out, num_shards=2)
+    df = explode_tier(out, tier="10x").to_pandas()
+    src = pads.dataset(seq_dir_small, format="parquet").to_table(columns=["doc_id", "tokens"])
+    originals = dict(zip(src.column("doc_id").to_pylist(), src.column("tokens").to_pylist()))
+    one = df[df["doc_id"] == df["doc_id"].iloc[0]].sort_values("window_id")
+    x = gap_fill(np.asarray(originals[one["doc_id"].iloc[0]], dtype=np.int32))
+    direct = sk.derive_features(sk.compute_window_sketches(x, RAW_BUCKET * 10))
+    np.testing.assert_allclose(one["win_mean"].to_numpy(), direct["mean"], rtol=1e-9)
+    np.testing.assert_allclose(one["win_var"].to_numpy(), direct["var"], rtol=1e-9, equal_nan=True)
+    assert one["window_id"].tolist() == list(range(len(one)))

@@ -460,3 +460,40 @@ def q_events_gapfill_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
+
+
+def q_events_user_window_moments(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
+    """Higher-moment sketch algebra SQL-checked: per-window skewness and
+    kurtosis derived from the SAME (s1..s4) power sums the tier ladder
+    stores, converted to DuckDB's bias-corrected (e1071 type-2)
+    definitions for the oracle comparison."""
+    from ts_pymfe_ray.functions import sketch as sk
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        v = df["value"].to_numpy()
+        m = sk.compute_window_sketches(v, bucket)
+        feats = sk.derive_features(m)
+        n = feats["count"]
+        full = n == bucket  # type-2 corrections need n > 3; use full windows
+        # convert method-3 (biased) back to g1/g2, then to type-2
+        with np.errstate(all="ignore"):
+            g1 = feats["skewness"] / np.power((n - 1.0) / n, 1.5)
+            g2 = (feats["kurtosis"] + 3.0) / (1.0 - 1.0 / n) ** 2 - 3.0
+            skew2 = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+            kurt2 = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+        keep = full & np.isfinite(skew2) & np.isfinite(kurt2)
+        nw = int(keep.sum())
+        return pd.DataFrame(
+            {
+                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
+                "window_id": np.flatnonzero(keep).astype(np.int64),
+                "value_skew": np.round(skew2[keep], ROUND),
+                "value_kurt": np.round(kurt2[keep], ROUND),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)

@@ -102,3 +102,48 @@ def tier_diagnostics(out_dir: str, tier: str = "10x") -> pd.DataFrame:
     g["n_docs"] = g["n_docs"].astype("int64")
     out = g[["source", "n_docs", "avg_window_drift", "avg_sd_volatility", "avg_window_acf1"]]
     return out.sort_values("source").reset_index(drop=True)
+
+
+def explode_tier(out_dir: str, tier: str = "10x") -> ray.data.Dataset:
+    """Relational view of a tier: stream-decode the Gorilla blobs into one
+    row per (doc, window) with the six statistic columns — the bridge from
+    the compressed tier store to SQL-style tooling.  Streaming map; never
+    materializes the store."""
+
+    def decode(batch: pa.Table) -> pa.Table:
+        nws = batch.column("n_windows").to_numpy()
+        blobs = batch.column("win_streams").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        sources = batch.column("source").to_pylist()
+        offs = batch.column("window_offset").to_numpy()
+        buckets = batch.column("bucket_size").to_numpy()
+        total = int(nws.sum())
+        out = {
+            "doc_id": np.empty(total, dtype=object),
+            "source": np.empty(total, dtype=object),
+            "window_id": np.empty(total, dtype=np.int64),
+        }
+        stream_cols = {s: np.empty(total, dtype=np.float64) for s in STREAMS}
+        pos = 0
+        for i, blob in enumerate(blobs):
+            nw = int(nws[i])
+            flat = gorilla.decode_floats_xor(blob)
+            base = int(offs[i]) // int(buckets[i])
+            sl = slice(pos, pos + nw)
+            out["doc_id"][sl] = doc_ids[i]
+            out["source"][sl] = sources[i]
+            out["window_id"][sl] = base + np.arange(nw)
+            for j, s in enumerate(STREAMS):
+                stream_cols[s][sl] = flat[j * nw : (j + 1) * nw]
+            pos += nw
+        cols = {
+            "doc_id": pa.array(out["doc_id"].tolist(), pa.string()),
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "window_id": pa.array(out["window_id"]),
+        }
+        for s in STREAMS:
+            cols[f"win_{s}"] = pa.array(stream_cols[s])
+        return pa.table(cols)
+
+    ds = read_tier_dataset(out_dir, tier)
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=512)
