@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": t.q_dedup_simhash,
         "dedup_ngram_jaccard": t.q_dedup_ngram_jaccard,
         "embeddings_neardup": t.q_embeddings_neardup,
+        "embeddings_ann_ivf": t.q_embeddings_ann_ivf,
         "lang_id": t.q_lang_id,
         "multimodal_decode": q_multimodal_decode,
         "seq_bootstrap_ci": _q_seq_bootstrap_ci,

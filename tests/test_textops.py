@@ -134,3 +134,14 @@ def test_query_determinism_across_runs(ray_session):
         a = fn(SF)
         b = fn(SF)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_ann_recall(ray_session):
+    """IVF probe of 4/16 cells must recover most of the exact top-5."""
+    from ts_pymfe_ray.pipelines.queries import q_embeddings_knn
+
+    exact = set(q_embeddings_knn(SF, k=5, query_vec_id=0)["vec_id"])
+    approx = set(t.q_embeddings_ann_ivf(SF, k=5, query_vec_id=0)["vec_id"])
+    recall = len(exact & approx) / 5
+    assert recall >= 0.6, f"recall {recall}"
+    assert 0 in approx  # the query vector itself always lands in its cell

@@ -449,3 +449,70 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     g["n_docs"] = g["n_docs"].astype("int64")
     g["uniq_fingerprints"] = g["uniq_fingerprints"].astype("int64")
     return g.sort_values("source").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ ANN: IVF path
+
+
+def _kmeans_lite(sample: np.ndarray, k: int = 16, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample — builds the IVF
+    coarse quantizer (centroids are broadcast to every map task)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centroids = sample[rng.choice(sample.shape[0], size=min(k, sample.shape[0]), replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(centroids.shape[0]):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def q_embeddings_ann_ivf(sf_dir: str, k: int = 5, query_vec_id: int = 0,
+                         n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF approximate top-k — the SCALE path for similarity search
+    (SURVEY.md training-data pack): a coarse k-means quantizer partitions
+    vectors into cells; the query probes only the ``n_probe`` nearest
+    cells, so the exact-cosine scan touches n_probe/n_cells of the corpus.
+    At 10^9+ vectors the cell assignment is a one-off indexed layout
+    (groupby cell -> partitioned parquet) and queries read only probed
+    partitions."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids_all = emb.column("vec_id").to_numpy()
+    mat_sample = np.asarray(emb.column("embedding").to_pylist()[:2048], dtype=np.float64)
+    centroids = _kmeans_lite(mat_sample, k=n_cells)
+
+    qrow = int(np.flatnonzero(ids_all == query_vec_id)[0])
+    q = np.asarray(emb.column("embedding").to_pylist()[qrow], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe]
+    probe_set = set(int(c) for c in probe)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def probe_cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        keep = np.isin(cell, list(probe_set))
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        mat, ids = mat[keep], ids[keep]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qn) / norms
+        top = np.argsort(-sims)[:k]
+        return pa.table({"vec_id": pa.array(ids[top], pa.int64()),
+                         "cosine": pa.array(np.round(sims[top], 6), pa.float64())})
+
+    partials = ds.map_batches(probe_cells, batch_format="pyarrow").to_pandas()
+    out = partials.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
