@@ -56,23 +56,23 @@ register(FeatureKernel(
 
 register(FeatureKernel(
     "pacf", "autocorr",
-    lambda c: _st.pacf_ld(c.ts),
-    returns_array=True,
-    ref="autocorr.py:442 (Levinson-Durbin in place of ols-adjusted)",
+    lambda c: _st.pacf_ols(c.ts),
+    returns_array=True, cost="medium",
+    ref="autocorr.py:442 (ols-adjusted, exact reference method)",
 ))
 
 register(FeatureKernel(
     "pacf_detrended", "autocorr",
-    lambda c: _st.pacf_ld(c.ts_detrended_ss),
+    lambda c: _st.pacf_ols(c.ts_detrended_ss),
     returns_array=True, cost="medium",
-    ref="autocorr.py:471",
+    ref="autocorr.py:471 (ols-adjusted)",
 ))
 
 register(FeatureKernel(
     "pacf_diff", "autocorr",
-    lambda c: _st.pacf_ld(_detrended_diff(c)),
+    lambda c: _st.pacf_ols(_detrended_diff(c)),
     returns_array=True, cost="medium",
-    ref="autocorr.py:512 (detrend=True default)",
+    ref="autocorr.py:512 (detrend=True default, ols-adjusted)",
 ))
 
 

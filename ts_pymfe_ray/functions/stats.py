@@ -149,3 +149,30 @@ def seasonal_diff(ts: np.ndarray, period: int) -> np.ndarray:
     if period >= x.size:
         return np.empty(0)
     return x[period:] - x[:-period]
+
+
+def pacf_ols(ts: np.ndarray, nlags: int | None = None, adjusted: bool = True) -> np.ndarray:
+    """Partial autocorrelation via per-lag OLS — statsmodels
+    pacf(method="ols-adjusted") semantics (the reference default,
+    autocorr.py:194-250): for each lag k regress x_t on
+    [1, x_{t-1}, ..., x_{t-k}] over t = k..n-1 and take the k-th lag
+    coefficient, scaled by n/(n-k) when adjusted.  Returns lags 1..nlags."""
+    x = np.asarray(ts, dtype=np.float64)
+    n = x.size
+    if nlags is None:
+        nlags = 1 + n // 10
+    nlags = int(min(nlags, max(0, n // 2 - 1)))
+    if nlags < 1 or n < 4:
+        return np.empty(0)
+    out = np.empty(nlags)
+    for k in range(1, nlags + 1):
+        m = n - k
+        X = np.empty((m, k + 1))
+        X[:, 0] = 1.0
+        for j in range(1, k + 1):
+            X[:, j] = x[k - j : n - j]
+        beta, *_ = np.linalg.lstsq(X, x[k:], rcond=None)
+        out[k - 1] = beta[k]
+        if adjusted:
+            out[k - 1] *= n / (n - k)
+    return out
