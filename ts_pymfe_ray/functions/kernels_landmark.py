@@ -76,8 +76,8 @@ _reg("model_linear", lambda c: _sk(c, _m.TSLinear),
 
 class _TSLinearEmbed:
     """OLS on delay embedding (landmarking.py:869-1023): lag from
-    first-nonsig ACF, dim fixed small (reference: Cao's method; simplified
-    to dim=3 — documented)."""
+    first-nonsig ACF, dim from Cao's method (same estimators the
+    reference wires in)."""
 
     def __init__(self, lag: int, dim: int = 3):
         self.lag, self.dim = max(1, lag), dim
@@ -106,9 +106,14 @@ class _TSLinearEmbed:
 
 def _linear_embed(c: SeriesCtx) -> np.ndarray:
     from ts_pymfe_ray.functions.kernels_autocorr import embed_lag
+    from ts_pymfe_ray.functions.kernels_general import _emb_dim_cao
 
     lag = embed_lag(c)
-    return _fc(c, lambda: _TSLinearEmbed(lag))
+    try:
+        dim = int(np.clip(_emb_dim_cao(c), 2, 16))
+    except Exception:
+        dim = 3
+    return _fc(c, lambda: _TSLinearEmbed(lag, dim=dim))
 
 
 _reg("model_linear_embed", _linear_embed, "landmarking.py:869-1023")
