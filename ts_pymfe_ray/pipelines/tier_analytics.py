@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+from ts_pymfe_ray.functions.rounding import round_ha
 import pyarrow as pa
 
 import ray.data
@@ -96,9 +98,9 @@ def tier_diagnostics(out_dir: str, tier: str = "10x") -> pd.DataFrame:
         n_volvol=("n_volvol", "sum"), sum_acf1=("sum_acf1", "sum"),
         n_acf1=("n_acf1", "sum"),
     ).reset_index()
-    g["avg_window_drift"] = (g["sum_drift"] / g["n_drift"]).round(6)
-    g["avg_sd_volatility"] = (g["sum_volvol"] / g["n_volvol"]).round(6)
-    g["avg_window_acf1"] = (g["sum_acf1"] / g["n_acf1"]).round(6)
+    g["avg_window_drift"] = round_ha((g["sum_drift"] / g["n_drift"]).to_numpy())
+    g["avg_sd_volatility"] = round_ha((g["sum_volvol"] / g["n_volvol"]).to_numpy())
+    g["avg_window_acf1"] = round_ha((g["sum_acf1"] / g["n_acf1"]).to_numpy())
     g["n_docs"] = g["n_docs"].astype("int64")
     out = g[["source", "n_docs", "avg_window_drift", "avg_sd_volatility", "avg_window_acf1"]]
     return out.sort_values("source").reset_index(drop=True)
