@@ -22,6 +22,16 @@ from typing import Any
 
 _OUT_ROOT = "/tmp/ts_pymfe_ray_entry_v2"
 
+# the engine's text-quality stopword list, quoted for SQL IN (...)
+_STOP_SQL = ", ".join(
+    f"'{w}'"
+    for w in "the a an and or of to in is it for on with as by at from that this be are was".split()
+)
+
+# driver correctness runs at sf0.01; the seq_* oracles read the SAME
+# deterministic synthesized sequences table the queries use
+_SEQ_GLOB = "/tmp/ts_pymfe_ray_data/sequences_sf0.01/*.parquet"
+
 
 def entry() -> Any:
     import pyarrow.dataset as pads
@@ -202,6 +212,15 @@ def _q_seq_bootstrap_ci(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
+    # the seq_* oracles read the synthesized sequences parquet; make sure it
+    # exists even if the driver evaluates oracles before running queries()
+    # (cached no-op after the first call — synthesis is deterministic)
+    try:
+        from ts_pymfe_ray.synth import ensure_sequences
+
+        ensure_sequences(0.01)
+    except Exception:
+        pass
     return {
         "events_window_rollup": """
             SELECT event_type,
@@ -467,6 +486,126 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
                    ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 6) AS avg_words
             FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+        "text_quality_full": f"""
+            WITH q AS (
+                SELECT source,
+                       len(string_split(text, ' ')) AS n_words,
+                       len(list_filter(string_split(text, ' '),
+                                       w -> w IN ({_STOP_SQL}))) AS n_stop,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                       length(text) AS n_chars,
+                       list_aggregate(list_transform(string_split(text, ' '),
+                                                     w -> length(w)), 'avg') AS mwl
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(SUM(n_words) * 1.0 / COUNT(*), 6) AS avg_words,
+                   ROUND(SUM(n_stop * 1.0 / GREATEST(1, n_words)) / COUNT(*), 6)
+                       AS avg_stopword_ratio,
+                   ROUND(SUM(n_punct * 1.0 / GREATEST(1, n_chars)) / COUNT(*), 6)
+                       AS avg_punct_ratio,
+                   ROUND(SUM(mwl) / COUNT(*), 6) AS avg_word_len
+            FROM q
+            GROUP BY source
+            ORDER BY source
+        """,
+        "doc_fingerprints": """
+            -- md5_number_lower == the engine's _md5_64 (low 8 digest bytes,
+            -- little-endian); min over rolling 8-word windows, whole text
+            -- when <= 8 words (winnowing-lite, textops.rolling_fingerprint)
+            WITH fp AS (
+                SELECT source,
+                       CASE WHEN len(string_split(text, ' ')) <= 8
+                            THEN md5_number_lower(text)
+                            ELSE list_min(list_transform(
+                                generate_series(1, len(string_split(text, ' ')) - 7),
+                                i -> md5_number_lower(array_to_string(
+                                         (string_split(text, ' '))[i:i+7], ' '))))
+                       END AS fp
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT fp) AS uniq_fingerprints
+            FROM fp
+            GROUP BY source
+            ORDER BY source
+        """,
+        "lang_id": f"""
+            WITH pred AS (
+                SELECT lang,
+                       CASE WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                                 * 1.0 / GREATEST(1, length(text)) > 0.97
+                                 AND (len(list_filter(string_split(lower(text), ' '),
+                                          w -> w IN ({_STOP_SQL})))
+                                      * 1.0 / len(string_split(lower(text), ' ')) > 0.03
+                                      OR len(string_split(lower(text), ' ')) < 5)
+                            THEN 'en' ELSE 'unknown' END AS pred_lang
+                FROM documents
+            )
+            SELECT lang, pred_lang, COUNT(*) AS n_docs
+            FROM pred
+            GROUP BY lang, pred_lang
+            ORDER BY lang, pred_lang
+        """,
+        "seq_tier_rollup": f"""
+            -- arithmetic twin of the tier ladder over the synthesized
+            -- sequences table: windows(tier) = ceil(ceil(n_tok/64)/factor)
+            -- (exact for the raw->10x->100x ceil composition); no sequence
+            -- exceeds the 1 Mtok hot-split threshold at driver scale, so
+            -- one tier row per (doc, tier)
+            WITH seq AS (
+                SELECT source,
+                       CAST(n_tok AS BIGINT) AS n_tok,
+                       CAST(len(list_filter(tokens, x -> x = -1)) AS BIGINT) AS n_gap,
+                       CAST(ceil(n_tok / 64.0) AS BIGINT) AS w_raw
+                FROM read_parquet('{_SEQ_GLOB}')
+            ), tiers AS (
+                SELECT seq.*, t.tier,
+                       CASE t.tier WHEN 'raw' THEN w_raw
+                            WHEN '10x' THEN CAST(ceil(w_raw / 10.0) AS BIGINT)
+                            ELSE CAST(ceil(ceil(w_raw / 10.0) / 10.0) AS BIGINT)
+                       END AS nw
+                FROM seq, (SELECT unnest(['raw', '10x', '100x']) AS tier) t
+            )
+            SELECT source, tier,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(nw) AS BIGINT) AS total_windows,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_gap) AS BIGINT) AS total_gaps
+            FROM tiers
+            GROUP BY source, tier
+            ORDER BY source, tier
+        """,
+        "seq_token_histogram": f"""
+            -- fixed-edge 256-bin histogram + bin-resolution quantiles:
+            -- MIN(b WHERE cum >= q*n) equals numpy searchsorted on the
+            -- dense cumulative counts (zero bins can never be the first
+            -- to reach the threshold)
+            WITH tok AS (
+                SELECT source, unnest(tokens) AS t
+                FROM read_parquet('{_SEQ_GLOB}')
+            ), valid AS (
+                SELECT source, t FROM tok WHERE t >= 0
+            ), bins AS (
+                SELECT source, CAST(LEAST(t // 256, 255) AS BIGINT) AS b,
+                       COUNT(*) AS c
+                FROM valid GROUP BY source, b
+            ), cum AS (
+                SELECT source, b,
+                       SUM(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+                       SUM(c) OVER (PARTITION BY source) AS n
+                FROM bins
+            )
+            SELECT source,
+                   CAST(MAX(n) AS BIGINT) AS n_tokens,
+                   MIN(CASE WHEN cum >= 0.25 * n THEN (b + 0.5) * 256.0 END) AS q25_est,
+                   MIN(CASE WHEN cum >= 0.5 * n THEN (b + 0.5) * 256.0 END) AS q50_est,
+                   MIN(CASE WHEN cum >= 0.75 * n THEN (b + 0.5) * 256.0 END) AS q75_est,
+                   MIN(CASE WHEN cum >= 0.95 * n THEN (b + 0.5) * 256.0 END) AS q95_est
+            FROM cum
             GROUP BY source
             ORDER BY source
         """,

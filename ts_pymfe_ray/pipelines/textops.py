@@ -428,13 +428,20 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return g.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
 
 
+def _md5_64(s: str) -> int:
+    """Low 64 bits of MD5 (digest bytes 8..16, little-endian) — bit-identical
+    to DuckDB's md5_number_lower(), so fingerprints are SQL-oracle-checkable
+    (doc_fingerprints has an exact DuckDB twin)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
 def rolling_fingerprint(text: str, window: int = 8) -> int:
     """Rabin-Karp-style rolling-hash document fingerprint: min hash over
     rolling word windows (winnowing-lite)."""
     words = text.split(" ")
     if len(words) <= window:
-        return _hash64(text)
-    hs = [_hash64(" ".join(words[i : i + window])) for i in range(len(words) - window + 1)]
+        return _md5_64(text)
+    hs = [_md5_64(" ".join(words[i : i + window])) for i in range(len(words) - window + 1)]
     return min(hs)
 
 
