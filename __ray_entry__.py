@@ -152,7 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": t.q_dedup_minhash,
         "dedup_simhash": t.q_dedup_simhash,
         "dedup_ngram_jaccard": t.q_dedup_ngram_jaccard,
-        "embeddings_neardup": t.q_embeddings_neardup,
+        # planted near-dups (driver data's max pair cosine is 0.51 — the
+        # operator needs >=0.95 pairs to prove anything)
+        "embeddings_neardup": lambda sf_dir: t.q_embeddings_neardup(sf_dir, plant=8),
         "embeddings_ann_ivf": t.q_embeddings_ann_ivf,
         "lang_id": t.q_lang_id,
         "multimodal_decode": q_multimodal_decode,
@@ -549,6 +551,36 @@ def oracle_sql() -> dict[str, str]:
             FROM pred
             GROUP BY lang, pred_lang
             ORDER BY lang, pred_lang
+        """,
+        "dedup_ngram_jaccard": """
+            -- exact-Jaccard twin of the distributed shingle inverted index
+            -- (textops.q_dedup_ngram_jaccard): same md5_number_lower 3-word
+            -- shingle hashes, candidate pairs = docs sharing a shingle,
+            -- jaccard = |intersection| / |union|
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(string_split(text, ' ')) < 3
+                              THEN [md5_number_lower(text)]
+                              ELSE list_distinct(list_transform(
+                                  generate_series(1, len(string_split(text, ' ')) - 2),
+                                  i -> md5_number_lower(array_to_string(
+                                           (string_split(text, ' '))[i:i+2], ' '))))
+                              END) AS s
+                FROM documents
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes ca ON ca.doc_id = doc_a
+            JOIN sizes cb ON cb.doc_id = doc_b
+            WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.5
+            ORDER BY doc_a, doc_b
         """,
         "seq_tier_rollup": f"""
             -- arithmetic twin of the tier ladder over the synthesized

@@ -145,3 +145,59 @@ def test_ivf_ann_recall(ray_session):
     recall = len(exact & approx) / 5
     assert recall >= 0.6, f"recall {recall}"
     assert 0 in approx  # the query vector itself always lands in its cell
+
+
+def test_embeddings_neardup_planted(ray_session):
+    """Planted near-duplicates (1% relative noise) must all be detected by
+    the hyperplane-LSH banding + in-bucket verify at threshold 0.95."""
+    df = t.q_embeddings_neardup(SF, threshold=0.95, plant=6)
+    pairs = set(zip(df["vec_a"], df["vec_b"]))
+    for i in range(6):
+        assert (i, i + t._PLANT_OFFSET) in pairs, f"planted pair {i} missed"
+    matched = df[df["vec_b"] >= t._PLANT_OFFSET]
+    assert (matched["cosine"] >= 0.99).all()
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """The distributed shingle-inverted-index Jaccard must equal an
+    all-pairs brute-force computation over the same md5 shingle sets."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sets = {
+        i: set(t._md5_shingles(x).tolist())
+        for i, x in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            j = inter / len(sets[a] | sets[b])
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 6)
+    df = t.q_dedup_ngram_jaccard(SF, threshold=0.5)
+    got = {(a, b): j for a, b, j in zip(df["doc_a"], df["doc_b"], df["jaccard"])}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9
+
+
+def test_ivf_partitioned_layout(ray_session, tmp_path):
+    """The IVF index is a hive cell=K/ layout; the pruned probe read must
+    return the same top-k as scanning every cell partition."""
+    import glob
+    import os
+
+    import shutil
+
+    shutil.rmtree(t._IVF_CACHE_ROOT, ignore_errors=True)
+    out = t.q_embeddings_ann_ivf(SF, k=5, query_vec_id=0)
+    idx_dirs = glob.glob(os.path.join(t._IVF_CACHE_ROOT, "*"))
+    assert idx_dirs, "no index layout written"
+    cells = glob.glob(os.path.join(idx_dirs[0], "cell=*"))
+    assert len(cells) > 1, "layout is not partitioned by cell"
+    # cached second run must be identical (layout reused, not rebuilt)
+    out2 = t.q_embeddings_ann_ivf(SF, k=5, query_vec_id=0)
+    assert out.equals(out2)

@@ -232,12 +232,14 @@ def q_embeddings_knn(sf_dir: str, k: int = 5, query_vec_id: int = 0) -> pd.DataF
     matmul per batch, per-batch partial top-k, tiny final merge.  The
     scale path swaps the per-batch scan for an LSH/IVF bucket probe
     (q_embeddings_neardup uses the banding variant)."""
-    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    vec_ids = emb.column("vec_id").to_numpy()
-    qrow = np.flatnonzero(vec_ids == query_vec_id)[0]
-    q = np.array(emb.column("embedding").to_pylist()[qrow], dtype=np.float64)
+    # pushdown-filtered read: only the query vector's row leaves storage
+    qtbl = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") == query_vec_id,
+    ).to_pandas()
+    q = np.asarray(qtbl["embedding"].iloc[0], dtype=np.float64)
     qn = q / np.linalg.norm(q)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

@@ -212,37 +212,134 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     return pairs.reset_index(drop=True)
 
 
-def q_dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5, sample: int = 512) -> pd.DataFrame:
-    """Exact n-gram Jaccard over MinHash-LSH candidates (the verify pass of
-    q_dedup_minhash but reporting true Jaccard).  ``sample`` caps the
-    verification fan-in per run for bounded cost."""
-    cand = q_dedup_minhash(sf_dir, threshold=0.5).head(sample)
-    if cand.empty:
+def _md5_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Distinct word k-shingle hashes using the low 64 MD5 bits — the same
+    hash DuckDB's md5_number_lower computes, so the exact-Jaccard dedup has
+    a bit-identical SQL oracle twin."""
+    words = text.split(" ")
+    if len(words) < k:
+        return np.array([_md5_64(text)], dtype=np.uint64)
+    hs = {_md5_64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def q_dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5,
+                          df_cap: int | None = None,
+                          num_buckets: int = 512) -> pd.DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via a distributed shingle
+    inverted index — no driver-side corpus materialization and no
+    LSH-recall gap:
+
+    1. map: per doc -> distinct 3-word-shingle hash rows
+       ``(bucket, shingle, doc_id, size)`` (size = |shingle set|, carried on
+       every row so no sizes table needs broadcasting or joining);
+    2. groupby(bucket): vectorized self-merge on shingle inside each hash
+       bucket -> one candidate-pair row per shared shingle;
+    3. groupby(pair): Count() = |intersection|;  jaccard = i/(sa+sb-i).
+
+    Shuffle volume is shingle rows + shared-shingle pair rows, never text.
+    ``df_cap`` (document frequency cap) drops shingles shared by more than
+    that many docs inside a bucket — the standard web-scale knob against
+    hot-shingle pair blowup (stopword trigrams); None = exact (the
+    SQL-oracled mode)."""
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir)
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_b, out_s, out_d, out_n = [], [], [], []
+        for i, t in enumerate(texts):
+            hs = _md5_shingles(t)
+            out_s.append(hs)
+            out_b.append((hs % np.uint64(num_buckets)).astype(np.int64))
+            out_d.append(np.full(hs.size, ids[i], dtype=np.int64))
+            out_n.append(np.full(hs.size, hs.size, dtype=np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+                "shingle": pa.array(np.concatenate(out_s), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "size": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df_cap is not None:
+            df = df[df.groupby("shingle")["doc_id"].transform("size") <= df_cap]
+        m = df.merge(df, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].to_numpy(),
+                "doc_b": m["doc_id_y"].to_numpy(),
+                "size_a": m["size_x"].to_numpy(),
+                "size_b": m["size_y"].to_numpy(),
+            }
+        )
+
+    inter = (
+        ds.map_batches(to_shingles, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b", "size_a", "size_b"])
+        .aggregate(Count())
+        .to_pandas()
+    )
+    if inter.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    import pyarrow.parquet as pq
-
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    txt = {i: t for i, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()) if i in need}
-    rows = []
-    for _, r in cand.iterrows():
-        j = jaccard(_shingles(txt[r["doc_a"]]), _shingles(txt[r["doc_b"]]))
-        if j >= threshold:
-            rows.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard": round_ha(j)})
-    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    i = inter["count()"].to_numpy(dtype=np.float64)
+    union = inter["size_a"].to_numpy() + inter["size_b"].to_numpy() - i
+    inter["jaccard"] = round_ha(i / union)
+    out = inter.loc[i / union >= threshold, ["doc_a", "doc_b", "jaccard"]]
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     out["doc_a"] = out["doc_a"].astype("int64")
     out["doc_b"] = out["doc_b"].astype("int64")
-    return out.reset_index(drop=True)
+    return out
 
 
-def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+_PLANT_OFFSET = 1_000_000
+
+
+def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95,
+                         plant: int = 0) -> pd.DataFrame:
     """Embedding-cosine near-duplicates via random-hyperplane LSH banding:
-    signature map -> bucket groupby -> in-bucket exact cosine verify."""
+    signature map -> bucket groupby -> in-bucket exact cosine verify.
+
+    ``plant`` > 0 injects that many deterministic near-duplicate rows
+    (vec_id + 1e6, 1% relative noise, cosine ~0.9999) derived from the
+    input inside the stream — the driver data has no pairs above 0.95
+    (max true pair cosine at sf0.01 is 0.51), so without planting the
+    operator would run but prove nothing."""
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
+    if plant:
+        def add_planted(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            keep = np.flatnonzero(ids < plant)
+            if keep.size == 0:
+                return batch
+            mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            dup_ids, dup_vecs = [], []
+            for r in keep:
+                rng = np.random.Generator(np.random.PCG64(int(ids[r])))
+                scale = 0.01 * np.linalg.norm(mat[r]) / np.sqrt(mat.shape[1])
+                dup_vecs.append((mat[r] + rng.normal(0.0, scale, mat.shape[1])).astype(np.float32))
+                dup_ids.append(int(ids[r]) + _PLANT_OFFSET)
+            planted = pa.table(
+                {
+                    "vec_id": pa.array(dup_ids, batch.schema.field("vec_id").type),
+                    "embedding": pa.array([v.tolist() for v in dup_vecs],
+                                          batch.schema.field("embedding").type),
+                }
+            )
+            return pa.concat_tables([batch, planted])
+
+        ds = ds.map_batches(add_planted, batch_format="pyarrow")
     probe = next(iter(ds.limit(1).iter_batches(batch_format="pyarrow")))
     dim = len(probe.column("embedding").to_pylist()[0])
     rng = np.random.Generator(np.random.PCG64(7))
@@ -478,42 +575,77 @@ def _kmeans_lite(sample: np.ndarray, k: int = 16, iters: int = 10, seed: int = 1
     return centroids
 
 
-def q_embeddings_ann_ivf(sf_dir: str, k: int = 5, query_vec_id: int = 0,
-                         n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
-    """IVF approximate top-k — the SCALE path for similarity search
-    (SURVEY.md training-data pack): a coarse k-means quantizer partitions
-    vectors into cells; the query probes only the ``n_probe`` nearest
-    cells, so the exact-cosine scan touches n_probe/n_cells of the corpus.
-    At 10^9+ vectors the cell assignment is a one-off indexed layout
-    (groupby cell -> partitioned parquet) and queries read only probed
-    partitions."""
-    import pyarrow.parquet as pq
+_IVF_CACHE_ROOT = "/tmp/ts_pymfe_ray_ivf"
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids_all = emb.column("vec_id").to_numpy()
-    mat_sample = np.asarray(emb.column("embedding").to_pylist()[:2048], dtype=np.float64)
+
+def build_ivf_index(sf_dir: str, n_cells: int = 16,
+                    sample_rows: int = 2048) -> tuple[str, np.ndarray]:
+    """One-off IVF layout build (cached per (input, n_cells)): train the
+    coarse quantizer on a ``ds.limit`` sample (bounded driver pull), assign
+    every vector to its nearest centroid via map_batches, and write a
+    hive-partitioned parquet layout ``cell=K/``.  Queries then read ONLY
+    the probed partitions — at 10^9+ vectors the scan touches
+    n_probe/n_cells of the corpus and nothing else leaves storage.
+
+    Returns (index_dir, centroids)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.blake2b(f"{os.path.abspath(src)}|{n_cells}".encode(),
+                          digest_size=8).hexdigest()
+    out_dir = os.path.join(_IVF_CACHE_ROOT, tag)
+    cpath = os.path.join(out_dir, "_centroids.npy")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir, np.load(cpath)
+
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    sample = ds.limit(sample_rows).to_pandas()
+    mat_sample = np.asarray(sample["embedding"].to_list(), dtype=np.float64)
     centroids = _kmeans_lite(mat_sample, k=n_cells)
 
-    qrow = int(np.flatnonzero(ids_all == query_vec_id)[0])
-    q = np.asarray(emb.column("embedding").to_pylist()[qrow], dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    probe = np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe]
-    probe_set = set(int(c) for c in probe)
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-
-    def probe_cells(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy()
+    def assign(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        cell = d.argmin(axis=1)
-        keep = np.isin(cell, list(probe_set))
-        if not keep.any():
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        mat, ids = mat[keep], ids[keep]
+        return batch.append_column("cell", pa.array(d.argmin(axis=1), pa.int32()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    np.save(cpath, centroids)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return out_dir, centroids
+
+
+def q_embeddings_ann_ivf(sf_dir: str, k: int = 5, query_vec_id: int = 0,
+                         n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF approximate top-k — the SCALE path for similarity search: probe
+    the ``n_probe`` cells nearest the query and scan only those hive
+    partitions of the prebuilt cell layout (build_ivf_index).  The query
+    vector itself comes from a pushdown-filtered read, never a full-table
+    pull."""
+    index_dir, centroids = build_ivf_index(sf_dir, n_cells=n_cells)
+
+    import pyarrow.compute as pc
+
+    qtbl = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") == query_vec_id,
+    ).to_pandas()
+    q = np.asarray(qtbl["embedding"].iloc[0], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe]
+
+    # partition pruning by construction: only the probed cell=K/ dirs are
+    # passed to the read — nothing else leaves storage
+    import glob as _glob
+
+    paths = [f for c in probe
+             for f in sorted(_glob.glob(os.path.join(index_dir, f"cell={int(c)}", "*.parquet")))]
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ qn) / norms
@@ -521,7 +653,7 @@ def q_embeddings_ann_ivf(sf_dir: str, k: int = 5, query_vec_id: int = 0,
         return pa.table({"vec_id": pa.array(ids[top], pa.int64()),
                          "cosine": pa.array(round_ha(sims[top]), pa.float64())})
 
-    partials = ds.map_batches(probe_cells, batch_format="pyarrow").to_pandas()
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     out = partials.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.reset_index(drop=True)
