@@ -104,6 +104,30 @@ def _q_seq_features(sf_dir: str):
     return g.sort_values("source").reset_index(drop=True)
 
 
+def _q_seq_features_heavy(sf_dir: str):
+    """Rows-only: the HEAVY kernel packs (landmarking model fits,
+    model_based ETS/ARIMA, stat_tests) through the actor-pool stage on a
+    capped deterministic sample (sf0.001 sequences = 1000 docs) — driver
+    coverage for the code paths a max_cost='heavy' user runs."""
+    import pyarrow.dataset as pads
+
+    from ts_pymfe_ray.pipelines import flagship
+    from ts_pymfe_ray.synth import ensure_sequences, sf_from_dir
+
+    sf = min(sf_from_dir(sf_dir), 0.001)
+    seq_dir = ensure_sequences(sf)
+    out = os.path.join(_OUT_ROOT, f"features_heavy_sf{sf:g}")
+    flagship.run_features(
+        seq_dir, out, groups=("landmarking", "model_based", "stat_tests"),
+        max_cost="heavy", num_shards=4,
+    )
+    ds = pads.dataset(out, format="parquet", ignore_prefixes=[".", "_", "manifest"])
+    df = ds.to_table().to_pandas()
+    num_cols = [c for c in df.columns if c not in ("doc_id", "source", "part_id")]
+    g = df.groupby("source")[num_cols].mean().round(6).reset_index()
+    return g.sort_values("source").reset_index(drop=True)
+
+
 def _q_seq_source_rollup(sf_dir: str):
     """Rows-only: cross-series continuous aggregate (groupby-merge of
     moment sketches per (source, tier, window_id))."""
@@ -148,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_full": t.q_text_quality_full,
         "seq_tier_rollup": _q_seq_tier_rollup,
         "seq_features": _q_seq_features,
+        "seq_features_heavy": _q_seq_features_heavy,
         "seq_source_rollup": _q_seq_source_rollup,
         "dedup_minhash": t.q_dedup_minhash,
         "dedup_simhash": t.q_dedup_simhash,

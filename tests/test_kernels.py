@@ -190,3 +190,19 @@ def test_golden_feature_values_stable():
                 assert np.isclose(v, gval, rtol=1e-7, atol=1e-9), (
                     f"{doc_id}/{name}: {v} != golden {gval}"
                 )
+
+
+def test_conformance_map_covers_full_registry():
+    """The conformance tool maps EVERY registry kernel to its reference
+    twin with a tolerance class, and the engine side of the map runs
+    cleanly in-container (the reference side needs scipy and SKIPs here)."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "tools/conformance_vs_reference.py", "--engine-only", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "mapped kernels: 149" in res.stdout
+    assert "0 failures" in res.stdout

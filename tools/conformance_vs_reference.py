@@ -2,14 +2,33 @@
 
 In THIS container tspymfe cannot import (scipy/statsmodels/sklearn are
 absent), so the pytest suite carries conformance through hand-derived
-closed forms.  This tool exists for any environment that does have the
-reference's dependencies: it runs tspymfe's own classmethods next to the
-engine's kernels on the reference's 20-series corpus and reports
-per-feature deltas with the documented tolerances (rtol=1e-9 for
-deterministic kernels; loose for optimizer/table-backed ones).
+closed forms and committed goldens.  This tool exists for any environment
+that does have the reference's dependencies: it runs EVERY engine kernel
+(the full 149-name registry) next to the reference's same-named
+``ft_*`` classmethod on the reference's 20-series corpus, using the
+reference's own call protocol — the component dict + precompute pass +
+signature binding of test_a.py:60-290 — and reports per-feature deltas
+with per-kernel tolerance classes:
 
-Usage: python tools/conformance_vs_reference.py [n_series]
-Exits 0 with a SKIP message when tspymfe is unimportable.
+- TIGHT   (default, rtol 1e-7): deterministic kernels; any delta is a bug.
+- DECOMP  (rtol/atol 1e-2): depends on the trend/season decomposition,
+  where the engine's pure-numpy decompose and the reference's
+  STL/SuperSmoother (_detrend.py:34-169) differ legitimately.
+- APPROX  (per-kernel rel tol): optimizer-backed fits (ETS/DES/HW/ARIMA,
+  _models.py:295-413), GP kernels, simulated-null / table-interpolated
+  p-values (stat_tests.py:176-424), nolds ports (global_stats.py:644-807).
+- RNGSTAT (rel 0.35 on the scalar summary): kernels that consume random
+  draws; the engine seeds per-doc, the reference per random_state, so only
+  statistical agreement is meaningful.
+
+Usage:
+    python tools/conformance_vs_reference.py [n_series]  # full side-by-side
+    python tools/conformance_vs_reference.py --engine-only [n_series]
+        # container mode: evaluates the ENGINE side of every mapped kernel
+        # (exercises the full map's plumbing even without the reference)
+
+Exits 0 with a SKIP message when tspymfe is unimportable (unless
+--engine-only, which always runs).
 """
 
 from __future__ import annotations
@@ -21,95 +40,210 @@ sys.path.insert(0, "/root/reference")
 
 import numpy as np
 
-# (engine kernel name, reference group module, ft method, tolerance)
-DETERMINISTIC = [
-    ("length", "general", "ft_length", 0),
-    ("turning_points", "general", "ft_turning_points", 1e-9),
-    ("step_changes", "general", "ft_step_changes", 1e-9),
-    ("frac_cp", "general", "ft_frac_cp", 1e-9),
-    ("bin_mean", "general", "ft_bin_mean", 1e-9),
-    ("fs_len", "general", "ft_fs_len", 1e-9),
-    ("stick_angles", "general", "ft_stick_angles", 1e-9),
-    ("walker_cross_frac", "general", "ft_walker_cross_frac", 1e-9),
-    ("t_mean", "global_stats", "ft_t_mean", 1e-9),
-    ("sd_diff", "global_stats", "ft_sd_diff", 1e-9),
-    ("skewness_diff", "global_stats", "ft_skewness_diff", 1e-9),
-    ("kurtosis_diff", "global_stats", "ft_kurtosis_diff", 1e-9),
-    ("spikiness", "global_stats", "ft_spikiness", 1e-7),
-    ("acf", "autocorr", "ft_acf", 1e-8),
-    ("acf_diff", "autocorr", "ft_acf_diff", 1e-8),
-    ("hist_entropy", "info_theory", "ft_hist_entropy", 1e-9),
-    ("lz_complexity", "info_theory", "ft_lz_complexity", 1e-9),
-    ("lumpiness", "local_stats", "ft_lumpiness", 1e-9),
-    ("stability", "local_stats", "ft_stability", 1e-9),
-    ("local_range", "local_stats", "ft_local_range", 1e-9),
-    ("moving_avg", "local_stats", "ft_moving_avg", 1e-9),
-    ("moving_var", "local_stats", "ft_moving_var", 1e-9),
-    ("moving_acf", "local_stats", "ft_moving_acf", 1e-7),
-    ("moving_sd", "local_stats", "ft_moving_sd", 1e-9),
-    ("moving_skewness", "local_stats", "ft_moving_skewness", 1e-8),
-    ("moving_kurtosis", "local_stats", "ft_moving_kurtosis", 1e-8),
-    ("moving_avg_shift", "local_stats", "ft_moving_avg_shift", 1e-9),
-    ("moving_kldiv", "local_stats", "ft_moving_kldiv", 1e-7),
-    ("local_extrema", "local_stats", "ft_local_extrema", 1e-9),
-    ("sd_residuals", "global_stats", "ft_sd_residuals", 1e-4),  # STL impl differs
-    ("ioe_tdelta_mean", "global_stats", "ft_ioe_tdelta_mean", 1e-8),
-    ("trev", "autocorr", "ft_trev", 1e-8),
-    ("tc3", "autocorr", "ft_tc3", 1e-8),
-    ("gen_autocorr", "autocorr", "ft_gen_autocorr", 1e-8),
-    ("acf_first_nonsig", "autocorr", "ft_acf_first_nonsig", 0.5),  # detrend impl differs
-    ("hist_ent_out_diff", "info_theory", "ft_hist_ent_out_diff", 1e-9),
-    ("approx_entropy", "info_theory", "ft_approx_entropy", 1e-8),
-    ("sample_entropy", "info_theory", "ft_sample_entropy", 1e-8),
-    ("ps_entropy", "freq_domain", "ft_ps_entropy", 1e-6),
-    ("low_freq_power", "freq_domain", "ft_low_freq_power", 1e-6),
-    ("ps_freqs", "freq_domain", "ft_ps_freqs", 1e-6),
-    ("test_lb", "stat_tests", "ft_test_lb", 1e-6),
-    ("test_earch", "stat_tests", "ft_test_earch", 1e-5),
-    ("linearity", "model_based", "ft_linearity", 1e-3),
-    ("curvature", "model_based", "ft_curvature", 1e-3),
-]
+# ---------------------------------------------------------- tolerance map
+
+# kernels whose reference value depends on the decomposition impl
+DECOMP = {
+    "trend_strenght", "season_strenght", "sd_residuals",
+    "skewness_residuals", "kurtosis_residuals", "acf_detrended",
+    "pacf_detrended", "ami_detrended", "turning_points_trend",
+    "step_changes_trend", "acf_first_nonsig", "first_acf_locmin",
+    "autocorr_crit_pt",
+}
+
+# optimizer / simulated-null / table / nolds-port kernels: honest rel tols
+APPROX = {
+    "des_level": 0.05, "des_trend": 0.05,
+    "ets_level": 0.05, "ets_trend": 0.05, "ets_season": 0.05,
+    "model_hwes_ada": 0.05, "model_hwes_adm": 0.05, "model_ses": 0.02,
+    "model_arima_010_c": 0.05, "model_arima_011_c": 0.05,
+    "model_arima_011_nc": 0.05, "model_arima_021_c": 0.05,
+    "model_arima_100_c": 0.05, "model_arima_110_c": 0.05,
+    "model_arima_112_nc": 0.05,
+    "model_gaussian": 0.05, "model_linear_embed": 0.02,
+    "avg_cycle_period": 0.05, "gaussian_r_sqr": 0.05,
+    "gresid_autocorr": 0.05, "gresid_lbtest": 0.05,
+    "opt_boxcox_coef": 1e-3,
+    "test_adf": 0.1, "test_adf_gls": 0.1, "test_pp": 0.1, "test_za": 0.1,
+    "test_lilliefors": 0.1, "moving_lilliefors": 0.1, "test_kpss": 0.05,
+    "corr_dim": 0.1, "dfa": 0.1, "exp_hurst": 0.1, "exp_max_lyap": 0.2,
+    "spikiness": 1e-4,
+}
+
+# kernels consuming random draws (engine: per-doc seed; reference:
+# random_state) — only statistical agreement applies
+RNGSTAT = {
+    "itrand_mean", "itrand_sd", "itrand_acf", "resample_std",
+    "resample_first_acf_nonpos", "resample_first_acf_locmin",
+    "surr_tc3", "surr_trev", "ami_curvature", "surprise", "pred",
+}
+
+TIGHT_RTOL = 1e-7
+TIGHT_ATOL = 1e-8
 
 
-def main():
-    try:
-        import tspymfe.general  # noqa: F401
-    except Exception as exc:
-        print(f"SKIP: reference not importable here ({type(exc).__name__}: {exc})")
-        print("Run in an environment with scipy/statsmodels/sklearn/arch installed.")
-        return 0
+def _tolerance(name: str) -> tuple[str, float, float]:
+    """(class, rtol, atol) for a kernel name."""
+    if name in RNGSTAT:
+        return "RNGSTAT", 0.35, 0.35
+    if name in APPROX:
+        t = APPROX[name]
+        return "APPROX", t, t
+    if name in DECOMP:
+        return "DECOMP", 1e-2, 1e-2
+    return "TIGHT", TIGHT_RTOL, TIGHT_ATOL
 
+
+# --------------------------------------------------- reference-side driver
+
+
+def _build_components(ts: np.ndarray, random_state: int = 16) -> dict:
+    """The reference's component dict (test_a.py:60-78) + precompute pass
+    (test_a.py:80-277): every ft_* is then called by signature binding."""
+    import inspect
+
+    import sklearn.metrics
+    from tspymfe import _detrend, _period
+
+    ts_period = _period.get_ts_period(ts)
+    ts_trend, ts_season, ts_residuals = _detrend.decompose(ts, ts_period=ts_period)
+
+    components = {
+        "ts": ts,
+        "ts_trend": ts_trend,
+        "ts_season": ts_season,
+        "ts_residuals": ts_residuals,
+        "ts_detrended": ts - ts_trend,
+        "ts_deseasonalized": ts - ts_season,
+        "random_state": random_state,
+        "score": sklearn.metrics.mean_squared_error,
+        "ts_period": ts_period,
+    }
+
+    from tspymfe.autocorr import MFETSAutocorr
+    from tspymfe.freq_domain import MFETSFreqDomain
+    from tspymfe.general import MFETSGeneral
+    from tspymfe.global_stats import MFETSGlobalStats
+    from tspymfe.info_theory import MFETSInfoTheory
+    from tspymfe.local_stats import MFETSLocalStats
+    from tspymfe.model_based import MFETSModelBased
+    from tspymfe.randomize import MFETSRandomize
+
+    precomps = (
+        MFETSGeneral.precompute_walker,
+        MFETSGeneral.precompute_embed_caos_method,
+        MFETSGeneral.precompute_period,
+        MFETSGeneral.precompute_ts_scaled,
+        MFETSFreqDomain.precompute_ps_residuals,
+        MFETSGlobalStats.precompute_period,
+        MFETSAutocorr.precompute_detrended_acf,
+        MFETSAutocorr.precompute_gaussian_model,
+        MFETSLocalStats.precompute_ts_scaled,
+        MFETSLocalStats.precompute_rolling_window,
+        MFETSModelBased.precompute_ts_scaled,
+        MFETSModelBased.precompute_period,
+        MFETSModelBased.precompute_model_ets,
+        MFETSModelBased.precompute_ioe_std_linear_model,
+        MFETSRandomize.precompute_ts_scaled,
+        MFETSRandomize.precompute_itrand_stats,
+        MFETSInfoTheory.precompute_ts_scaled,
+        MFETSInfoTheory.precompute_detrended_ami,
+    )
+    for method in precomps:
+        params = inspect.signature(method).parameters.keys()
+        args = {k: v for k, v in components.items() if k in params}
+        try:
+            components.update(method(**args))
+        except Exception:
+            pass
+    return components
+
+
+def _call_reference(group: str, name: str, components: dict):
     import importlib
+    import inspect
 
+    mod = importlib.import_module(f"tspymfe.{group}")
+    cls = next(getattr(mod, a) for a in dir(mod) if a.startswith("MFETS"))
+    method = getattr(cls, f"ft_{name}")
+    params = inspect.signature(method).parameters.keys()
+    args = {k: v for k, v in components.items() if k in params}
+    return method(**args)
+
+
+def _summary(v) -> float:
+    """Scalar summary for comparison: scalars pass through; arrays use the
+    finite mean (the reference's default summarization, tsmfe.py:48)."""
+    a = np.asarray(v, dtype=float).ravel()
+    if a.size == 1:
+        return float(a[0])
+    fin = a[np.isfinite(a)]
+    return float(fin.mean()) if fin.size else float("nan")
+
+
+def main() -> int:
+    engine_only = "--engine-only" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_series = int(argv[0]) if argv else 5
+
+    import ts_pymfe_ray.features  # noqa: F401 — register all packs
     from tests.test_api import load_corpus_series
-
     from ts_pymfe_ray.registry import REGISTRY, SeriesCtx
 
-    n_series = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    have_ref = True
+    if not engine_only:
+        try:
+            import tspymfe.general  # noqa: F401
+        except Exception as exc:
+            print(f"SKIP: reference not importable here ({type(exc).__name__}: {exc})")
+            print("Run in an environment with scipy/statsmodels/sklearn/arch "
+                  "installed, or use --engine-only for the container half.")
+            return 0
+    else:
+        try:
+            import tspymfe.general  # noqa: F401
+        except Exception:
+            have_ref = False
+
+    per_class = {"TIGHT": 0, "DECOMP": 0, "APPROX": 0, "RNGSTAT": 0}
+    for k in REGISTRY.values():
+        per_class[_tolerance(k.name)[0]] += 1
+    print(f"mapped kernels: {len(REGISTRY)} "
+          f"(TIGHT {per_class['TIGHT']}, DECOMP {per_class['DECOMP']}, "
+          f"APPROX {per_class['APPROX']}, RNGSTAT {per_class['RNGSTAT']})")
+
     fails = 0
+    evaluated = 0
     for ind in range(n_series):
         ts = load_corpus_series(ind)
         ctx = SeriesCtx(ts, doc_id=f"corpus-{ind}")
-        for eng_name, mod_name, ft_name, tol in DETERMINISTIC:
-            mod = importlib.import_module(f"tspymfe.{mod_name}")
-            cls = next(
-                getattr(mod, a) for a in dir(mod) if a.startswith("MFETS")
-            )
+        components = _build_components(ts) if (have_ref and not engine_only) else None
+        for k in sorted(REGISTRY.values(), key=lambda x: x.name):
+            cls_name, rtol, atol = _tolerance(k.name)
             try:
-                ref_val = np.asarray(getattr(cls, ft_name)(ts=ts), dtype=float)
-            except TypeError:
-                ref_val = np.asarray(
-                    getattr(cls, ft_name)(ts_residuals=ctx.ts_residuals), dtype=float
-                )
-            eng_val = np.asarray(REGISTRY[eng_name].fn(ctx), dtype=float)
-            ok = eng_val.shape == ref_val.shape and np.allclose(
-                eng_val, ref_val, rtol=max(tol, 1e-12), atol=tol, equal_nan=True
+                eng_val = k.fn(ctx)
+            except Exception as exc:
+                fails += 1
+                print(f"FAIL series={ind} {k.name}: engine raised {type(exc).__name__}: {exc}")
+                continue
+            evaluated += 1
+            if engine_only or components is None:
+                continue
+            try:
+                ref_val = _call_reference(k.group, k.name, components)
+            except Exception as exc:
+                print(f"SKIP series={ind} {k.name}: reference raised {type(exc).__name__}")
+                continue
+            e, r = _summary(eng_val), _summary(ref_val)
+            ok = (np.isnan(e) and np.isnan(r)) or bool(
+                np.isclose(e, r, rtol=rtol, atol=atol, equal_nan=True)
             )
-            status = "OK " if ok else "FAIL"
             if not ok:
                 fails += 1
-                print(f"{status} series={ind} {eng_name}: eng={eng_val.ravel()[:3]} ref={ref_val.ravel()[:3]}")
-    print(f"done: {n_series} series x {len(DETERMINISTIC)} features, {fails} failures")
+                print(f"FAIL[{cls_name}] series={ind} {k.name}: eng={e:.6g} ref={r:.6g}")
+    mode = "engine-only" if (engine_only or not have_ref) else "side-by-side"
+    print(f"done ({mode}): {n_series} series x {len(REGISTRY)} kernels, "
+          f"{evaluated} evaluated, {fails} failures")
     return 1 if fails else 0
 
 

@@ -210,3 +210,29 @@ def seq_window_sums(x: np.ndarray, bucket: int) -> np.ndarray:
     pad = np.zeros(nw * bucket, dtype=np.float64)
     pad[: x.size] = x
     return np.cumsum(pad.reshape(nw, bucket), axis=1)[:, -1]
+
+
+def pooled_acf1(n, s1, s2, c1, sum_first, sum_last, m):
+    """Pooled lag-1 autocorrelation of MANY series-windows merged into one
+    population (cross-series continuous aggregate).
+
+    Only in-series adjacent pairs count (``c1`` never crosses series
+    boundaries), but the mean/variance are pooled:
+
+        acf1 = sum_pairs (x_i - mu)(x_{i+1} - mu) / sum (x - mu)^2
+
+    Expanding with the power sums: each window w contributes
+    ``c1_w - mu*(2*s1_w - first_w - last_w) + (n_w - 1)*mu^2`` to the
+    numerator, so the merged population needs only the SUMS of first/last
+    boundary values and ``m`` (number of merged windows; total pairs =
+    n - m).  All inputs are vectorized arrays; NaN where there are no
+    pairs or zero variance.
+    """
+    n = np.asarray(n, dtype=np.float64)
+    with np.errstate(all="ignore"):
+        mean = np.asarray(s1) / n
+        num = (np.asarray(c1) - mean * (2.0 * np.asarray(s1) - np.asarray(sum_first)
+                                        - np.asarray(sum_last))
+               + (n - np.asarray(m)) * mean**2)
+        den = np.asarray(s2) - n * mean**2
+        return np.where((n - np.asarray(m) > 0) & (den > 0), num / den, np.nan)

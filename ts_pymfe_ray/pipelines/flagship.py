@@ -45,17 +45,29 @@ def _shard_workers(num_plans: int) -> int:
     return max(1, min(8, num_plans, ncpu // 4))
 
 
-def _count_written(out_shard_dir: str) -> tuple[int, int]:
-    """(rows, raw-tier token count) from the just-written shard output.
-    Arrow-native (no Python-object materialization — this runs on the
-    driver and must not serialize shard commits behind the GIL)."""
-    import pyarrow.compute as pc
+def _shard_counts(shard: list[str], max_chunk_tokens: int) -> tuple[int, int]:
+    """(tier rows, raw token count) for a shard, computed from the INPUT's
+    n_tok column via a distributed partial aggregation — rows per doc are
+    3 tiers x its hot-split chunk count, so the commit metadata never
+    requires re-reading the written output onto the driver (at 10^9 docs
+    per shard that pull was the scale liability)."""
+    from ts_pymfe_ray.stages.rollup import RAW_BUCKET, TIER_FACTORS
 
-    ds = pads.dataset(out_shard_dir, format="parquet", partitioning="hive")
-    rows = ds.count_rows()
-    tbl = ds.to_table(columns=["tier", "n_tok"])
-    tok = pc.sum(pc.filter(tbl.column("n_tok"), pc.equal(tbl.column("tier"), "raw"))).as_py()
-    return rows, int(tok or 0)
+    align = RAW_BUCKET * TIER_FACTORS["100x"]
+    max_chunk = max(align, (max_chunk_tokens // align) * align)
+
+    def part(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_tok").to_numpy().astype(np.int64)
+        chunks = np.where(nt > max_chunk, -(-nt // max_chunk), 1)
+        return pa.table({"rows": pa.array([int(chunks.sum()) * len(TIER_FACTORS)], pa.int64()),
+                         "tokens": pa.array([int(nt.sum())], pa.int64())})
+
+    p = (
+        ray.data.read_parquet(shard, columns=["n_tok"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return int(p["rows"].sum()), int(p["tokens"].sum())
 
 
 def run_rollup(
@@ -137,7 +149,7 @@ def _run_rollup_locked(
         # hive-partition by tier inside each shard so the retention ladder
         # can age out a whole tier with a directory delete (state/retention)
         ds.write_parquet(out_shard, partition_cols=["tier"])
-        rows, tokens = _count_written(out_shard)
+        rows, tokens = _shard_counts(shard, max_chunk_tokens)
         with commit_lock:
             mf.commit_shard(
                 out_dir, sid, shard, config, rows, tokens,
@@ -278,7 +290,10 @@ def _run_features_locked(out_dir, shards, config, resume, batch_size, groups, ma
 
 _PARTIAL_SCHEMA = pa.schema(
     [("source", pa.string()), ("tier", pa.string()), ("window_id", pa.int64())]
+    # first/last carry the SUMS of window boundary values and m the count
+    # of merged series-windows — what pooled_acf1 needs at the final merge
     + [(f, pa.float64()) for f in sk.FIELDS]
+    + [("m", pa.float64())]
 )
 
 
@@ -338,8 +353,10 @@ def _partial_sketches(batch: pa.Table, tiers=("raw", "10x", "100x")) -> pa.Table
         agg[:, sk._I[f]] = np.add.reduceat(sbig[:, sk._I[f]], starts)
     agg[:, sk._I["vmin"]] = np.minimum.reduceat(sbig[:, sk._I["vmin"]], starts)
     agg[:, sk._I["vmax"]] = np.maximum.reduceat(sbig[:, sk._I["vmax"]], starts)
-    agg[:, sk._I["first"]] = np.nan
-    agg[:, sk._I["last"]] = np.nan
+    # boundary-value SUMS (not single values): pooled_acf1 inputs
+    agg[:, sk._I["first"]] = np.add.reduceat(sbig[:, sk._I["first"]], starts)
+    agg[:, sk._I["last"]] = np.add.reduceat(sbig[:, sk._I["last"]], starts)
+    m_counts = np.diff(np.append(starts, skeys.size)).astype(np.float64)
 
     wid = uniq % max_wid
     st = (uniq // max_wid) % len(tier_names)
@@ -348,39 +365,66 @@ def _partial_sketches(batch: pa.Table, tiers=("raw", "10x", "100x")) -> pa.Table
         "source": [src_names[i] for i in ss],
         "tier": [tier_names[i] for i in st],
         "window_id": wid,
+        "m": m_counts,
     }
     for j, f in enumerate(sk.FIELDS):
         cols[f] = agg[:, j]
     return pa.table({n: pa.array(cols[n], _PARTIAL_SCHEMA.field(n).type) for n in _PARTIAL_SCHEMA.names})
 
 
-def _merge_group(group: pa.Table) -> pa.Table:
-    mat = np.column_stack([group.column(f).to_numpy() for f in sk.FIELDS])
-    merged = sk.merge_unordered(mat)
-    feats = sk.derive_features(merged[None, :])
-    out = {
-        "source": [group.column("source")[0].as_py()],
-        "tier": [group.column("tier")[0].as_py()],
-        "window_id": [group.column("window_id")[0].as_py()],
-        "n": [float(merged[sk._I["n"]])],
+def _derive_merged(batch: pa.Table) -> pa.Table:
+    """Vectorized feature derivation over a block of final-merged sketch
+    rows (the groupby-aggregate output) — replaces the old per-group
+    1-row map_groups consumer with ~10 numpy kernels per BLOCK."""
+    g = {f: batch.column(f"sum({f})").to_numpy()
+         for f in ("n", "s1", "s2", "s3", "s4", "c1", "first", "last", "m")}
+    mat = np.empty((len(batch), sk.N_FIELDS), dtype=np.float64)
+    for f in ("n", "s1", "s2", "s3", "s4", "c1"):
+        mat[:, sk._I[f]] = g[f]
+    mat[:, sk._I["vmin"]] = batch.column("min(vmin)").to_numpy()
+    mat[:, sk._I["vmax"]] = batch.column("max(vmax)").to_numpy()
+    mat[:, sk._I["first"]] = np.nan
+    mat[:, sk._I["last"]] = np.nan
+    feats = sk.derive_features(mat)
+    acf1 = sk.pooled_acf1(g["n"], g["s1"], g["s2"], g["c1"],
+                          g["first"], g["last"], g["m"])
+    cols: dict[str, object] = {
+        "source": batch.column("source"),
+        "tier": batch.column("tier"),
+        "window_id": batch.column("window_id"),
+        "n": pa.array(g["n"], pa.float64()),
+        "mean": pa.array(feats["mean"], pa.float64()),
+        "var": pa.array(feats["var"], pa.float64()),
+        "sd": pa.array(feats["sd"], pa.float64()),
+        "acf1": pa.array(acf1, pa.float64()),
+        "skewness": pa.array(feats["skewness"], pa.float64()),
+        "kurtosis": pa.array(feats["kurtosis"], pa.float64()),
+        "vmin": pa.array(feats["vmin"], pa.float64()),
+        "vmax": pa.array(feats["vmax"], pa.float64()),
     }
-    for name in ("mean", "var", "sd", "acf1", "skewness", "kurtosis", "vmin", "vmax"):
-        out[name] = [float(feats[name][0])]
-    return pa.table(out)
+    return pa.table(cols)
 
 
 def rollup_by_source(input_dir: str, tiers=("100x",)) -> ray.data.Dataset:
     """Continuous aggregate across series: per (source, tier, window_id)
-    merged moment sketches -> mean/var/acf1/skew/kurt curves per source."""
+    merged moment sketches -> mean/var/acf1/skew/kurt curves per source.
+    The final merge is a built-in vectorized groupby-aggregate (Sum/Min/
+    Max over pre-combined partial rows) followed by one block-level derive
+    map — no per-group Python consumer anywhere.  acf1 is the POOLED
+    in-series lag-1 autocorrelation (sketch.pooled_acf1)."""
+    from ray.data.aggregate import Max, Min, Sum
+
     ds = read_sequences(input_dir)
     ds = ds.map_batches(split_long_rows, batch_format="pyarrow")
     ds = ds.map_batches(
         _partial_sketches, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"tiers": tuple(tiers)},
     )
-    return ds.groupby(["source", "tier", "window_id"]).map_groups(
-        _merge_group, batch_format="pyarrow"
+    agg = ds.groupby(["source", "tier", "window_id"]).aggregate(
+        *[Sum(f) for f in ("n", "s1", "s2", "s3", "s4", "c1", "first", "last", "m")],
+        Min("vmin"), Max("vmax"),
     )
+    return agg.map_batches(_derive_merged, batch_format="pyarrow")
 
 
 def flagship(sf_dir_or_input: str, out_root: str = DEFAULT_OUT_ROOT) -> dict:
