@@ -109,17 +109,32 @@ def _q_seq_features_heavy(sf_dir: str):
     model_based ETS/ARIMA, stat_tests) through the actor-pool stage on a
     capped deterministic sample (sf0.001 sequences = 1000 docs) — driver
     coverage for the code paths a max_cost='heavy' user runs."""
+    import pyarrow as pa
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
 
     from ts_pymfe_ray.pipelines import flagship
     from ts_pymfe_ray.synth import ensure_sequences, sf_from_dir
 
     sf = min(sf_from_dir(sf_dir), 0.001)
     seq_dir = ensure_sequences(sf)
+    # heavy kernels cost ~3.5 s/series: cap to a deterministic 64-doc
+    # subset (first doc_ids in sorted order) for a bounded driver run
+    sub_dir = os.path.join(_OUT_ROOT, f"seq_heavy_input_sf{sf:g}")
+    if not os.path.exists(os.path.join(sub_dir, "_SUCCESS")):
+        os.makedirs(sub_dir, exist_ok=True)
+        df = pads.dataset(seq_dir, format="parquet",
+                          ignore_prefixes=[".", "_"]).to_table().to_pandas()
+        df = df.sort_values("doc_id").groupby("source").head(16)
+        pq.write_table(pa.Table.from_pandas(df.reset_index(drop=True),
+                                            preserve_index=False),
+                       os.path.join(sub_dir, "part-00000.parquet"))
+        with open(os.path.join(sub_dir, "_SUCCESS"), "w") as f:
+            f.write("ok")
     out = os.path.join(_OUT_ROOT, f"features_heavy_sf{sf:g}")
     flagship.run_features(
-        seq_dir, out, groups=("landmarking", "model_based", "stat_tests"),
-        max_cost="heavy", num_shards=4,
+        sub_dir, out, groups=("landmarking", "model_based", "stat_tests"),
+        max_cost="heavy", num_shards=2, batch_size=4,
     )
     ds = pads.dataset(out, format="parquet", ignore_prefixes=[".", "_", "manifest"])
     df = ds.to_table().to_pandas()
