@@ -45,29 +45,40 @@ def _shard_workers(num_plans: int) -> int:
     return max(1, min(8, num_plans, ncpu // 4))
 
 
-def _shard_counts(shard: list[str], max_chunk_tokens: int) -> tuple[int, int]:
-    """(tier rows, raw token count) for a shard, computed from the INPUT's
-    n_tok column via a distributed partial aggregation — rows per doc are
-    3 tiers x its hot-split chunk count, so the commit metadata never
-    requires re-reading the written output onto the driver (at 10^9 docs
-    per shard that pull was the scale liability)."""
+def _input_counts(files: list[str], max_chunk_tokens: int) -> dict[str, tuple[int, int]]:
+    """Per-FILE (tier rows, raw token count), computed from the input's
+    n_tok column in ONE distributed pass — rows per doc are 3 tiers x its
+    hot-split chunk count, so shard commit metadata never requires
+    re-reading the written output onto the driver (at 10^9 docs per shard
+    that pull was the scale liability), and a single execution up front
+    does not contend with the overlapped shard runs."""
     from ts_pymfe_ray.stages.rollup import RAW_BUCKET, TIER_FACTORS
 
     align = RAW_BUCKET * TIER_FACTORS["100x"]
     max_chunk = max(align, (max_chunk_tokens // align) * align)
+    n_tiers = len(TIER_FACTORS)
 
     def part(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         nt = batch.column("n_tok").to_numpy().astype(np.int64)
         chunks = np.where(nt > max_chunk, -(-nt // max_chunk), 1)
-        return pa.table({"rows": pa.array([int(chunks.sum()) * len(TIER_FACTORS)], pa.int64()),
-                         "tokens": pa.array([int(nt.sum())], pa.int64())})
+        df = pd.DataFrame({"path": batch.column("path").to_pylist(),
+                           "rows": chunks * n_tiers, "tokens": nt})
+        g = df.groupby("path", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     p = (
-        ray.data.read_parquet(shard, columns=["n_tok"])
+        ray.data.read_parquet(files, columns=["n_tok"], include_paths=True)
         .map_batches(part, batch_format="pyarrow")
         .to_pandas()
+        .groupby("path")
+        .sum()
     )
-    return int(p["rows"].sum()), int(p["tokens"].sum())
+    out: dict[str, tuple[int, int]] = {}
+    for path, row in p.iterrows():
+        out[os.path.normpath(str(path))] = (int(row["rows"]), int(row["tokens"]))
+    return out
 
 
 def run_rollup(
@@ -149,7 +160,9 @@ def _run_rollup_locked(
         # hive-partition by tier inside each shard so the retention ladder
         # can age out a whole tier with a directory delete (state/retention)
         ds.write_parquet(out_shard, partition_cols=["tier"])
-        rows, tokens = _shard_counts(shard, max_chunk_tokens)
+        counts = counts_fut.result()
+        rows = sum(counts.get(os.path.normpath(f), (0, 0))[0] for f in shard)
+        tokens = sum(counts.get(os.path.normpath(f), (0, 0))[1] for f in shard)
         with commit_lock:
             mf.commit_shard(
                 out_dir, sid, shard, config, rows, tokens,
@@ -172,6 +185,12 @@ def _run_rollup_locked(
             _sh.rmtree(mf.shard_dir(out_dir, sid), ignore_errors=True)
     if max_shards is not None:
         todo = todo[:max_shards]
+    # one tiny n_tok-column pass for commit metadata, overlapped with the
+    # shard executions (commits block on it only at commit time)
+    counts_pool = ThreadPoolExecutor(max_workers=1)
+    counts_fut = (counts_pool.submit(
+        _input_counts, [f for _, s in todo for f in s], max_chunk_tokens)
+        if todo else None)
     # Overlap shard executions (each is an independent streaming Dataset
     # run; Ray shares the CPU pool) so one shard's read fills another's
     # compute gap.  Plans are BUILT serially (lazy, cheap — avoids
