@@ -33,6 +33,59 @@ _STOP_SQL = ", ".join(
 _SEQ_GLOB = "/tmp/ts_pymfe_ray_data/sequences_sf0.01/*.parquet"
 
 
+def _lang_id_sql() -> str:
+    """DuckDB twin of textops.detect_lang, built from the SAME profile
+    data (functions/langprofiles.py) so the argmax precedence, thresholds
+    and word lists match the engine bit-for-bit."""
+    from ts_pymfe_ray.functions.langprofiles import (
+        ASCII_MIN, CJK_MIN, PROFILE_ORDER, PROFILES, SCORE_MIN,
+        SHORT_DOC_WORDS,
+    )
+
+    ratios = ",\n                       ".join(
+        f"len(list_filter(w, x -> x IN ({', '.join(repr(s) for s in sorted(PROFILES[p]))})))"
+        f" * 1.0 / len(w) AS r_{p}"
+        for p in PROFILE_ORDER
+    )
+    best = ", ".join(f"r_{p}" for p in PROFILE_ORDER)
+    # first-match chain == Python max() first-wins tie-breaking
+    name_chain = " ".join(
+        f"WHEN r_{p} = best THEN '{p}'" for p in PROFILE_ORDER
+    )
+    return f"""
+            WITH feat AS (
+                SELECT lang,
+                       length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                           * 1.0 / GREATEST(1, length(text)) AS ascii_ratio,
+                       length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                           * 1.0 / GREATEST(1, length(text)) AS cjk_ratio,
+                       len(string_split(lower(text), ' ')) AS n_words,
+                       {ratios}
+                FROM (SELECT lang, text, string_split(lower(text), ' ') AS w
+                      FROM documents)
+            ), scored AS (
+                SELECT lang, ascii_ratio, cjk_ratio, n_words,
+                       GREATEST({best}) AS best,
+                       CASE {name_chain} END AS best_name,
+                       r_en, r_es, r_de, r_fr
+                FROM feat
+            ), pred AS (
+                SELECT lang,
+                       CASE WHEN ascii_ratio <= {ASCII_MIN}
+                            THEN (CASE WHEN cjk_ratio > {CJK_MIN}
+                                       THEN 'zh' ELSE 'unknown' END)
+                            WHEN best > {SCORE_MIN} THEN best_name
+                            WHEN n_words < {SHORT_DOC_WORDS} THEN 'en'
+                            ELSE 'unknown' END AS pred_lang
+                FROM scored
+            )
+            SELECT lang, pred_lang, COUNT(*) AS n_docs
+            FROM pred
+            GROUP BY lang, pred_lang
+            ORDER BY lang, pred_lang
+        """
+
+
 def entry() -> Any:
     import pyarrow.dataset as pads
 
@@ -189,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_features": _q_seq_features,
         "seq_features_heavy": _q_seq_features_heavy,
         "seq_source_rollup": _q_seq_source_rollup,
+        "seq_source_rollup_nogap": _q_seq_source_rollup_nogap,
         "dedup_minhash": t.q_dedup_minhash,
         "dedup_simhash": t.q_dedup_simhash,
         "dedup_ngram_jaccard": t.q_dedup_ngram_jaccard,
@@ -203,6 +257,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_fast_features": _q_seq_fast_features,
         "seq_token_histogram": _q_seq_token_histogram,
     }
+
+
+def _q_seq_source_rollup_nogap(sf_dir: str):
+    """SQL-ORACLED twin of the flagship cross-series continuous aggregate:
+    per (source, 100x-window) pooled count/mean/var/extrema over gap-free
+    docs (integer token sums are order-exact in float64 below 2^53, so the
+    driver hash is stable; the gap-filled full version stays rows-only
+    with the extra skew/kurt/acf1 columns)."""
+    import numpy as np
+    import pandas as pd
+
+    from ts_pymfe_ray.functions.rounding import round_ha
+    from ts_pymfe_ray.pipelines import flagship
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    df = flagship.rollup_by_source(seq_dir, tiers=("100x",), gap_free=True).to_pandas()
+    out = pd.DataFrame(
+        {
+            "source": df["source"],
+            "window_id": df["window_id"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "mean": round_ha(df["mean"].to_numpy()),
+            # s2 sums exceed 2^53 -> float association noise ~1e-4 relative
+            # to var's 1e8 magnitude: round to the nearest hundred
+            "var": round_ha(df["var"].to_numpy(), -2),
+            "vmin": df["vmin"].astype("int64"),
+            "vmax": df["vmax"].astype("int64"),
+        }
+    )
+    return out.sort_values(["source", "window_id"]).reset_index(drop=True)
 
 
 def _q_seq_token_histogram(sf_dir: str):
@@ -575,23 +660,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             ORDER BY source
         """,
-        "lang_id": f"""
-            WITH pred AS (
-                SELECT lang,
-                       CASE WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
-                                 * 1.0 / GREATEST(1, length(text)) > 0.97
-                                 AND (len(list_filter(string_split(lower(text), ' '),
-                                          w -> w IN ({_STOP_SQL})))
-                                      * 1.0 / len(string_split(lower(text), ' ')) > 0.03
-                                      OR len(string_split(lower(text), ' ')) < 5)
-                            THEN 'en' ELSE 'unknown' END AS pred_lang
-                FROM documents
-            )
-            SELECT lang, pred_lang, COUNT(*) AS n_docs
-            FROM pred
-            GROUP BY lang, pred_lang
-            ORDER BY lang, pred_lang
-        """,
+        "lang_id": _lang_id_sql(),
         "dedup_ngram_jaccard": """
             -- exact-Jaccard twin of the distributed shingle inverted index
             -- (textops.q_dedup_ngram_jaccard): same md5_number_lower 3-word
@@ -650,6 +719,35 @@ def oracle_sql() -> dict[str, str]:
             FROM tiers
             GROUP BY source, tier
             ORDER BY source, tier
+        """,
+        "seq_source_rollup_nogap": f"""
+            -- pooled per-(source, 100x window) aggregate across series:
+            -- parallel unnest zips token values with their in-doc position,
+            -- window_id = position // 6400 (the 100x tier bucket); only
+            -- gap-free docs so all sums are integer-exact
+            WITH doc AS (
+                SELECT source, tokens
+                FROM read_parquet('{_SEQ_GLOB}')
+                WHERE len(list_filter(tokens, x -> x = -1)) = 0
+            ), tok AS (
+                SELECT source,
+                       unnest(tokens) AS t,
+                       unnest(generate_series(0, len(tokens) - 1)) // 6400
+                           AS window_id
+                FROM doc
+            )
+            SELECT source, window_id,
+                   COUNT(*) AS n,
+                   ROUND(SUM(t) * 1.0 / COUNT(*), 6) AS mean,
+                   ROUND((SUM(CAST(t AS DOUBLE) * t)
+                          - COUNT(*) * ((SUM(t) * 1.0 / COUNT(*))
+                                        * (SUM(t) * 1.0 / COUNT(*))))
+                         / (COUNT(*) - 1), -2) AS var,
+                   MIN(t) AS vmin,
+                   MAX(t) AS vmax
+            FROM tok
+            GROUP BY source, window_id
+            ORDER BY source, window_id
         """,
         "seq_token_histogram": f"""
             -- fixed-edge 256-bin histogram + bin-resolution quantiles:

@@ -91,7 +91,10 @@ def test_lang_id_and_quality(ray_session):
     lang = t.q_lang_id(SF)
     assert lang["n_docs"].sum() == 500
     assert t.detect_lang("the quick brown fox is on the hill and it was fine") == "en"
-    assert t.detect_lang("这 是 一 段 中 文 文 本 没 有 英 文 停 用 词") == "unknown"
+    assert t.detect_lang("这 是 一 段 中 文 文 本 没 有 英 文 停 用 词") == "zh"
+    assert t.detect_lang("el perro y el gato en la casa de los vecinos que no se ven") == "es"
+    assert t.detect_lang("der hund und die katze sind im haus von den nachbarn als auch hier") == "de"
+    assert t.detect_lang("le chien et le chat dans la maison des voisins qui ne se voient pas") == "fr"
     q = t.q_text_quality_full(SF)
     assert (q["avg_words"] > 0).all()
     assert ((q["avg_stopword_ratio"] >= 0) & (q["avg_stopword_ratio"] <= 1)).all()

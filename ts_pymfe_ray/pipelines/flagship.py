@@ -424,7 +424,19 @@ def _derive_merged(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def rollup_by_source(input_dir: str, tiers=("100x",)) -> ray.data.Dataset:
+def _filter_gapfree(batch: pa.Table) -> pa.Table:
+    """Keep only rows whose token array has no -1 sentinel (used by the
+    SQL-oracled gap-free twin: interpolated fill values are association-
+    sensitive at the driver hash's rounding grid, integer sums are not)."""
+    from ts_pymfe_ray.stages.rollup import tokens_views
+
+    views, _, _ = tokens_views(batch)
+    keep = [i for i, v in enumerate(views) if not (v == -1).any()]
+    return batch.take(pa.array(keep, pa.int64()))
+
+
+def rollup_by_source(input_dir: str, tiers=("100x",),
+                     gap_free: bool = False) -> ray.data.Dataset:
     """Continuous aggregate across series: per (source, tier, window_id)
     merged moment sketches -> mean/var/acf1/skew/kurt curves per source.
     The final merge is a built-in vectorized groupby-aggregate (Sum/Min/
@@ -434,6 +446,9 @@ def rollup_by_source(input_dir: str, tiers=("100x",)) -> ray.data.Dataset:
     from ray.data.aggregate import Max, Min, Sum
 
     ds = read_sequences(input_dir)
+    if gap_free:
+        ds = ds.map_batches(_filter_gapfree, batch_format="pyarrow",
+                            zero_copy_batch=True)
     ds = ds.map_batches(split_long_rows, batch_format="pyarrow")
     ds = ds.map_batches(
         _partial_sketches, batch_format="pyarrow", zero_copy_batch=True,

@@ -404,9 +404,12 @@ def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95,
 
 # ------------------------------------------------------------- text analysis
 
-_STOPWORDS = frozenset(
-    "the a an and or of to in is it for on with as by at from that this be are was".split()
+from ts_pymfe_ray.functions.langprofiles import (
+    ASCII_MIN, CJK_MIN, PROFILE_ORDER, PROFILES, SCORE_MIN, SHORT_DOC_WORDS,
 )
+
+# the text-quality stopword signal uses the English profile
+_STOPWORDS = PROFILES["en"]
 
 
 def text_quality_features(texts: list[str]) -> pd.DataFrame:
@@ -496,14 +499,27 @@ def q_text_quality_full(sf_dir: str) -> pd.DataFrame:
 
 
 def detect_lang(text: str) -> str:
-    """N-gram/stopword language-ID heuristic (en vs unknown; extensible
-    profile table)."""
+    """Multi-profile stopword language-ID heuristic (en/es/de/fr via
+    stopword-hit ratios, zh via CJK codepoint ratio, else unknown).
+
+    Precedence is deterministic and mirrored exactly by the DuckDB oracle
+    twin: non-ascii docs are 'zh' if the CJK ratio clears CJK_MIN else
+    'unknown'; ascii docs take the FIRST profile (PROFILE_ORDER) whose hit
+    ratio is maximal and clears SCORE_MIN; short ascii docs fall back to
+    'en'."""
     words = text.lower().split(" ")
     if not words:
         return "unknown"
-    ratio = sum(w in _STOPWORDS for w in words) / len(words)
     ascii_ratio = sum(c.isascii() for c in text) / max(1, len(text))
-    if ascii_ratio > 0.97 and (ratio > 0.03 or len(words) < 5):
+    if ascii_ratio <= ASCII_MIN:
+        cjk = sum("一" <= c <= "鿿" for c in text) / max(1, len(text))
+        return "zh" if cjk > CJK_MIN else "unknown"
+    scores = [(name, sum(w in PROFILES[name] for w in words) / len(words))
+              for name in PROFILE_ORDER]
+    best_name, best = max(scores, key=lambda kv: kv[1])  # ties: first wins
+    if best > SCORE_MIN:
+        return best_name
+    if len(words) < SHORT_DOC_WORDS:
         return "en"
     return "unknown"
 
