@@ -29,6 +29,24 @@ import numpy as np
 # ---------------------------------------------------------------- running linear smoother
 
 
+_X_CACHE: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _x_prefixes(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(x, cum(x), cum(x^2)) for x = 0..n-1 — constant per length, and the
+    smoother is called ~8x per series with the same n, so cache them
+    (bounded: one entry per distinct series length, lengths are capped)."""
+    hit = _X_CACHE.get(n)
+    if hit is None:
+        x = np.arange(n, dtype=np.float64)
+        cx = np.concatenate([[0.0], np.cumsum(x)])
+        cxx = np.concatenate([[0.0], np.cumsum(x * x)])
+        if len(_X_CACHE) > 4096:
+            _X_CACHE.clear()
+        hit = _X_CACHE[n] = (x, cx, cxx)
+    return hit
+
+
 def _running_linear(y: np.ndarray, half: int) -> tuple[np.ndarray, np.ndarray]:
     """Running local-linear smooth of y over x=0..n-1 with symmetric window
     [i-half, i+half] (truncated at the edges).
@@ -38,14 +56,15 @@ def _running_linear(y: np.ndarray, half: int) -> tuple[np.ndarray, np.ndarray]:
     hat-diagonal of a local linear fit).
     """
     n = y.size
-    x = np.arange(n, dtype=np.float64)
+    x, cx, cxx = _x_prefixes(n)
     lo = np.maximum(0, np.arange(n) - half)
     hi = np.minimum(n, np.arange(n) + half + 1)
 
-    cy = np.concatenate([[0.0], np.cumsum(y)])
-    cx = np.concatenate([[0.0], np.cumsum(x)])
-    cxy = np.concatenate([[0.0], np.cumsum(x * y)])
-    cxx = np.concatenate([[0.0], np.cumsum(x * x)])
+    # fused y-prefixes: one cumsum call over the stacked (2, n) matrix is
+    # bitwise-identical to two separate cumsums (accumulate is per-row)
+    cyy = np.zeros((2, n + 1))
+    np.cumsum(np.stack([y, x * y]), axis=1, out=cyy[:, 1:])
+    cy, cxy = cyy[0], cyy[1]
 
     m = (hi - lo).astype(np.float64)
     sy = cy[hi] - cy[lo]
