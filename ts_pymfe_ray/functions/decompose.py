@@ -78,9 +78,8 @@ def _running_linear(y: np.ndarray, half: int) -> tuple[np.ndarray, np.ndarray]:
     var = sxx - sx * xbar
     with np.errstate(all="ignore"):
         slope = np.where(var > 1e-12, cov / var, 0.0)
-    fit = ybar + slope * (x - xbar)
-    # leverage of point i in its own window: h = 1/m + (x-xbar)^2 / var
-    with np.errstate(all="ignore"):
+        fit = ybar + slope * (x - xbar)
+        # leverage of point i in its own window: h = 1/m + (x-xbar)^2 / var
         h = 1.0 / m + np.where(var > 1e-12, (x - xbar) ** 2 / var, 0.0)
     h = np.minimum(h, 0.999)
     cv = np.abs(y - fit) / (1.0 - h)

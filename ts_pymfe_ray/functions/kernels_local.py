@@ -41,26 +41,43 @@ def _sliding_sums(x: np.ndarray, w: int, power: int = 1) -> np.ndarray:
     return c[w:] - c[:-w]
 
 
+def _power_prefixes(x: np.ndarray) -> np.ndarray:
+    """(4, n+1) prefix sums of x^1..x^4 in ONE stacked cumsum — bitwise
+    identical to four separate cumsums (accumulate is per-row) and shared
+    by every moving-stat kernel of a row via the ctx cache.  Powers use
+    np.power (x**3/x**4 differ bitwise from repeated multiplication, and
+    the committed goldens pin the np.power values)."""
+    P = np.zeros((4, x.size + 1))
+    np.cumsum(np.stack([x, x * x, x**3, x**4]), axis=1, out=P[:, 1:])
+    return P
+
+
+def _psums(P: np.ndarray, w: int, power: int) -> np.ndarray:
+    c = P[power - 1]
+    return c[w:] - c[:-w]
+
+
 def _window_of(c: SeriesCtx) -> int:
     return process_window_size(c.ts.size, 0.1)
 
 
-def moving_mean(s: np.ndarray, w: int) -> np.ndarray:
-    return _sliding_sums(s, w) / w
+def moving_mean(s: np.ndarray, w: int, P: np.ndarray | None = None) -> np.ndarray:
+    s1 = _psums(P, w, 1) if P is not None else _sliding_sums(s, w)
+    return s1 / w
 
 
-def moving_var(s: np.ndarray, w: int, ddof: int = 1) -> np.ndarray:
-    s1 = _sliding_sums(s, w)
-    s2 = _sliding_sums(s, w, 2)
+def moving_var(s: np.ndarray, w: int, P: np.ndarray | None = None, ddof: int = 1) -> np.ndarray:
+    s1 = _psums(P, w, 1) if P is not None else _sliding_sums(s, w)
+    s2 = _psums(P, w, 2) if P is not None else _sliding_sums(s, w, 2)
     v = (s2 - s1 * s1 / w) / (w - ddof)
     return np.maximum(v, 0.0)
 
 
-def moving_skewness(s: np.ndarray, w: int) -> np.ndarray:
+def moving_skewness(s: np.ndarray, w: int, P: np.ndarray | None = None) -> np.ndarray:
     """e1071 method-3, bias=True per window (local_stats.py:671)."""
-    s1 = _sliding_sums(s, w)
-    s2 = _sliding_sums(s, w, 2)
-    s3 = _sliding_sums(s, w, 3)
+    if P is None:
+        P = _power_prefixes(s)
+    s1, s2, s3 = _psums(P, w, 1), _psums(P, w, 2), _psums(P, w, 3)
     mu = s1 / w
     m2 = s2 / w - mu**2
     m3 = s3 / w - 3 * mu * s2 / w + 2 * mu**3
@@ -69,11 +86,10 @@ def moving_skewness(s: np.ndarray, w: int) -> np.ndarray:
     return g1 * ((w - 1.0) / w) ** 1.5
 
 
-def moving_kurtosis(s: np.ndarray, w: int) -> np.ndarray:
-    s1 = _sliding_sums(s, w)
-    s2 = _sliding_sums(s, w, 2)
-    s3 = _sliding_sums(s, w, 3)
-    s4 = _sliding_sums(s, w, 4)
+def moving_kurtosis(s: np.ndarray, w: int, P: np.ndarray | None = None) -> np.ndarray:
+    if P is None:
+        P = _power_prefixes(s)
+    s1, s2, s3, s4 = (_psums(P, w, k) for k in (1, 2, 3, 4))
     mu = s1 / w
     m2 = s2 / w - mu**2
     m4 = s4 / w - 4 * mu * s3 / w + 6 * mu**2 * s2 / w - 3 * mu**4
@@ -82,12 +98,12 @@ def moving_kurtosis(s: np.ndarray, w: int) -> np.ndarray:
     return (g2 + 3.0) * (1.0 - 1.0 / w) ** 2 - 3.0
 
 
-def moving_acf1(s: np.ndarray, w: int, adjusted: bool = True) -> np.ndarray:
+def moving_acf1(s: np.ndarray, w: int, P: np.ndarray | None = None, adjusted: bool = True) -> np.ndarray:
     """Rolling lag-1 ACF, statsmodels semantics per window
     (local_stats.py:1031: rolling apply of ft_acf(nlags=1, adjusted)):
     acf1 = (sum_pairs/(w-1)) / (var_pop) with var_pop = ss/w."""
-    s1 = _sliding_sums(s, w)
-    s2 = _sliding_sums(s, w, 2)
+    s1 = _psums(P, w, 1) if P is not None else _sliding_sums(s, w)
+    s2 = _psums(P, w, 2) if P is not None else _sliding_sums(s, w, 2)
     prod = s[:-1] * s[1:]
     cp = np.concatenate([[0.0], np.cumsum(prod)])
     c1 = cp[w - 1 :] - cp[: -(w - 1)]  # sum of w-1 in-window pairs
@@ -104,7 +120,7 @@ def moving_acf1(s: np.ndarray, w: int, adjusted: bool = True) -> np.ndarray:
     return acf1
 
 
-def moving_gmean(s: np.ndarray, w: int) -> np.ndarray:
+def moving_gmean(s: np.ndarray, w: int, P: np.ndarray | None = None) -> np.ndarray:
     """scipy.stats.gmean per window: NaN whenever the window holds a
     non-positive value (log-domain), matching scipy on z-scored input."""
     with np.errstate(all="ignore"):
@@ -132,8 +148,10 @@ def _mk_moving(name: str, stat_fn, shift: bool):
         if w < 2 or c.ts.size < w:
             return np.full(1, np.nan)
         # base rolling stat cached per row: the _shift variant reuses the
-        # non-shift computation instead of recomputing the sliding sums
-        vals = c._get(f"mv_{name}_{w}", lambda: stat_fn(c.ts_scaled, w))
+        # non-shift computation, and all moving stats share ONE cached
+        # power-prefix matrix instead of recomputing cumsums per kernel
+        P = c._get("mvpow", lambda: _power_prefixes(c.ts_scaled))
+        vals = c._get(f"mv_{name}_{w}", lambda: stat_fn(c.ts_scaled, w, P))
         vals = vals[~np.isnan(vals)] if not shift else vals
         return _postprocess(vals, shift)
 
@@ -143,7 +161,7 @@ def _mk_moving(name: str, stat_fn, shift: bool):
 for _name, _fn, _ref in (
     ("moving_avg", moving_mean, "local_stats.py:256"),
     ("moving_var", moving_var, "local_stats.py:388"),
-    ("moving_sd", lambda s, w: np.sqrt(moving_var(s, w)), "local_stats.py:543"),
+    ("moving_sd", lambda s, w, P=None: np.sqrt(moving_var(s, w, P)), "local_stats.py:543"),
     ("moving_skewness", moving_skewness, "local_stats.py:671"),
     ("moving_kurtosis", moving_kurtosis, "local_stats.py:849"),
     ("moving_acf", moving_acf1, "local_stats.py:1031"),

@@ -211,10 +211,24 @@ def evaluate_row(ts: np.ndarray, doc_id: str, kernels: list[FeatureKernel], cap:
     _internal.py:204-213)."""
     ctx = SeriesCtx(ts, doc_id=doc_id, cap=cap)
     out: dict[str, float] = {}
+    # ONE errstate scope for the whole row: entering/exiting a numpy
+    # errstate per kernel costs ~5us x 37 kernels; the outer scope covers
+    # exactly what the per-kernel managers covered
+    with np.errstate(all="ignore"):
+        out = _eval_kernels(ctx, kernels)
+    for post in POSTPROCESSORS:
+        try:
+            post(out, ctx)
+        except Exception:
+            pass  # hooks must never fail a row (reference error policy)
+    return out
+
+
+def _eval_kernels(ctx: "SeriesCtx", kernels: list[FeatureKernel]) -> dict[str, float]:
+    out: dict[str, float] = {}
     for k in kernels:
         try:
-            with np.errstate(all="ignore"):
-                val = k.fn(ctx)
+            val = k.fn(ctx)
         except Exception:
             val = np.nan
         if k.returns_array:
@@ -229,9 +243,4 @@ def evaluate_row(ts: np.ndarray, doc_id: str, kernels: list[FeatureKernel], cap:
                 out[k.name] = float(val)
             except (TypeError, ValueError):
                 out[k.name] = np.nan
-    for post in POSTPROCESSORS:
-        try:
-            post(out, ctx)
-        except Exception:
-            pass  # hooks must never fail a row (reference error policy)
     return out
