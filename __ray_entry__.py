@@ -254,7 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "seq_bootstrap_ci": _q_seq_bootstrap_ci,
         "seq_tier_diagnostics": _q_seq_tier_diagnostics,
+        "seq_tier_diagnostics_nogap": _q_seq_tier_diagnostics_nogap,
         "seq_fast_features": _q_seq_fast_features,
+        "seq_fast_features_nogap": _q_seq_fast_features_nogap,
         "seq_token_histogram": _q_seq_token_histogram,
     }
 
@@ -288,6 +290,33 @@ def _q_seq_source_rollup_nogap(sf_dir: str):
         }
     )
     return out.sort_values(["source", "window_id"]).reset_index(drop=True)
+
+
+def _q_seq_fast_features_nogap(sf_dir: str):
+    """SQL-ORACLED twin of the sketch-derived fast feature pass: per-source
+    means of the 12 whole-series / first-difference statistics whose power
+    sums stay integer-exact in float64 (skew/kurt need s3/s4 sums beyond
+    2^53 and stay in the rows-only variant)."""
+    import pandas as pd
+
+    from ts_pymfe_ray.functions.rounding import round_ha
+    from ts_pymfe_ray.pipelines.flagship import _filter_gapfree
+    from ts_pymfe_ray.sources.sequences import read_sequences
+    from ts_pymfe_ray.stages.fast_features import FastFeatureStage
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    ds = read_sequences(seq_dir).map_batches(
+        _filter_gapfree, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(FastFeatureStage(), batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=512)
+    df = ds.to_pandas()
+    cols = ["length", "mean", "var", "sd", "acf1", "vmin", "vmax", "vrange",
+            "diff_mean", "diff_var", "diff_sd", "diff_acf1"]
+    g = df.groupby("source")[cols].mean().reset_index()
+    for c in cols:
+        g[c] = round_ha(g[c].to_numpy())
+    return g.sort_values("source").reset_index(drop=True)
 
 
 def _q_seq_token_histogram(sf_dir: str):
@@ -324,6 +353,23 @@ def _q_seq_tier_diagnostics(sf_dir: str):
     out = os.path.join(_OUT_ROOT, f"tiers_{tag}")
     flagship.run_rollup(seq_dir, out, num_shards=8)
     return tier_diagnostics(out, tier="10x")
+
+
+def _q_seq_tier_diagnostics_nogap(sf_dir: str):
+    """SQL-ORACLED twin of the compressed-tier analytics: the engine path
+    decodes 10x Gorilla streams and computes per-doc window-mean drift /
+    sd volatility / mean window ACF1; the DuckDB twin recomputes the same
+    statistics from the raw tokens (gap-free docs), validating rollup +
+    codec + analytics end-to-end."""
+    from ts_pymfe_ray.pipelines import flagship
+    from ts_pymfe_ray.pipelines.tier_analytics import tier_diagnostics
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    tag = os.path.basename(os.path.normpath(seq_dir))
+    out = os.path.join(_OUT_ROOT, f"tiers_{tag}")
+    flagship.run_rollup(seq_dir, out, num_shards=8)
+    return tier_diagnostics(out, tier="10x", gap_free=True)
 
 
 def _q_seq_bootstrap_ci(sf_dir: str):
@@ -748,6 +794,174 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
             GROUP BY source, window_id
             ORDER BY source, window_id
+        """,
+        "seq_tier_diagnostics_nogap": f"""
+            -- recompute the 10x tier's per-window (mean, sd, acf1) from
+            -- RAW tokens (gap-free docs; bucket 640), then the engine's
+            -- per-doc diagnostics: OLS drift of window means over window
+            -- index, sample-std of window sds (numpy two-pass formula),
+            -- mean of finite window ACF1s; average per source.  The
+            -- engine side travels sequences -> sketches -> Gorilla ->
+            -- decode -> diagnostics, so equality validates the whole
+            -- compressed-tier path.
+            WITH doc AS (
+                SELECT doc_id, source, tokens
+                FROM read_parquet('{_SEQ_GLOB}')
+                WHERE len(list_filter(tokens, x -> x = -1)) = 0
+            ), tok AS (
+                SELECT doc_id, source,
+                       unnest(tokens) AS t,
+                       unnest(generate_series(0, len(tokens) - 1)) AS pos
+                FROM doc
+            ), lagged AS (
+                SELECT doc_id, source, t, pos, pos // 640 AS w,
+                       LAG(t) OVER (PARTITION BY doc_id ORDER BY pos) AS p1
+                FROM tok
+            ), per_win AS (
+                SELECT doc_id, source, w,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(t) AS DOUBLE) AS s1,
+                       SUM(CAST(t AS DOUBLE) * t) AS s2,
+                       SUM(CAST(t AS DOUBLE) * p1)
+                           FILTER (WHERE p1 IS NOT NULL AND pos % 640 <> 0) AS c1,
+                       CAST(arg_min(t, pos) AS DOUBLE) AS fst,
+                       CAST(arg_max(t, pos) AS DOUBLE) AS lst
+                FROM lagged
+                GROUP BY doc_id, source, w
+            ), win_stats AS (
+                SELECT doc_id, source, w,
+                       s1 / n AS mean,
+                       CASE WHEN n > 1 THEN
+                            sqrt(CASE WHEN (s2 - n * ((s1/n) * (s1/n))) / (n - 1) < 0
+                                      THEN 0
+                                      ELSE (s2 - n * ((s1/n) * (s1/n))) / (n - 1) END)
+                       END AS sd,
+                       CASE WHEN n > 2 AND s2 - n * ((s1/n) * (s1/n)) > 0
+                            THEN (c1 - (s1/n) * (2.0 * s1 - fst - lst)
+                                  + (n - 1.0) * ((s1/n) * (s1/n)))
+                                 / (s2 - n * ((s1/n) * (s1/n)))
+                       END AS acf1
+                FROM per_win
+            ), ctx AS (
+                SELECT doc_id, source, w, mean, sd, acf1,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS nw,
+                       AVG(w * 1.0) OVER (PARTITION BY doc_id) AS tm,
+                       AVG(mean) OVER (PARTITION BY doc_id) AS mm,
+                       AVG(sd) OVER (PARTITION BY doc_id) AS sdbar,
+                       COUNT(sd) OVER (PARTITION BY doc_id) AS k
+                FROM win_stats
+            ), per_doc AS (
+                SELECT doc_id, source,
+                       CASE WHEN MAX(nw) > 1
+                            THEN SUM((w - tm) * (mean - mm))
+                                 / SUM((w - tm) * (w - tm))
+                       END AS window_mean_drift,
+                       CASE WHEN MAX(nw) > 2 AND MAX(k) > 1
+                            THEN sqrt(SUM((sd - sdbar) * (sd - sdbar))
+                                      / (MAX(k) - 1))
+                       END AS window_sd_volatility,
+                       AVG(acf1) AS mean_window_acf1
+                FROM ctx
+                GROUP BY doc_id, source
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(window_mean_drift), 6) AS avg_window_drift,
+                   ROUND(AVG(window_sd_volatility), 6) AS avg_sd_volatility,
+                   ROUND(AVG(mean_window_acf1), 6) AS avg_window_acf1
+            FROM per_doc
+            GROUP BY source
+            ORDER BY source
+        """,
+        "seq_fast_features_nogap": f"""
+            -- per-doc whole-series + first-difference sketch stats over
+            -- gap-free docs; every power/product sum stays below 2^53 so
+            -- the per-doc doubles are bitwise-equal to the engine sketch,
+            -- and the derive expressions mirror sketch.derive_features
+            -- operand-for-operand
+            WITH doc AS (
+                SELECT doc_id, source, tokens
+                FROM read_parquet('{_SEQ_GLOB}')
+                WHERE len(list_filter(tokens, x -> x = -1)) = 0
+            ), tok AS (
+                SELECT doc_id, source,
+                       unnest(tokens) AS t,
+                       unnest(generate_series(0, len(tokens) - 1)) AS pos
+                FROM doc
+            ), lagged AS (
+                SELECT doc_id, source, t, pos,
+                       LAG(t) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+                       LAG(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+                FROM tok
+            ), per_doc AS (
+                SELECT doc_id, source,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(t) AS DOUBLE) AS s1,
+                       SUM(CAST(t AS DOUBLE) * t) AS s2,
+                       SUM(CAST(t AS DOUBLE) * p1) FILTER (WHERE p1 IS NOT NULL) AS c1,
+                       CAST(MIN(t) AS DOUBLE) AS vmin,
+                       CAST(MAX(t) AS DOUBLE) AS vmax,
+                       CAST(arg_min(t, pos) AS DOUBLE) AS fst,
+                       CAST(arg_max(t, pos) AS DOUBLE) AS lst,
+                       CAST(COUNT(*) FILTER (WHERE p1 IS NOT NULL) AS DOUBLE) AS dn,
+                       CAST(SUM(t - p1) FILTER (WHERE p1 IS NOT NULL) AS DOUBLE) AS ds1,
+                       SUM(CAST(t - p1 AS DOUBLE) * (t - p1))
+                           FILTER (WHERE p1 IS NOT NULL) AS ds2,
+                       SUM(CAST(t - p1 AS DOUBLE) * (p1 - p2))
+                           FILTER (WHERE p2 IS NOT NULL) AS dc1,
+                       CAST(arg_min(t - p1, pos) FILTER (WHERE p1 IS NOT NULL)
+                            AS DOUBLE) AS dfst,
+                       CAST(arg_max(t - p1, pos) FILTER (WHERE p1 IS NOT NULL)
+                            AS DOUBLE) AS dlst
+                FROM lagged
+                GROUP BY doc_id, source
+            ), step1 AS (
+                SELECT source, n, s1, s2, c1, vmin, vmax, fst, lst,
+                       dn, ds1, ds2, dc1, dfst, dlst,
+                       s1 / n AS mean,
+                       s2 - n * ((s1 / n) * (s1 / n)) AS den,
+                       ds1 / dn AS dmean,
+                       ds2 - dn * ((ds1 / dn) * (ds1 / dn)) AS dden
+                FROM per_doc
+            ), derived AS (
+                SELECT source,
+                       n AS length, mean,
+                       CASE WHEN den / (n - 1) < 0 THEN 0
+                            ELSE den / (n - 1) END AS var,
+                       sqrt(CASE WHEN den / (n - 1) < 0 THEN 0
+                                 ELSE den / (n - 1) END) AS sd,
+                       CASE WHEN n > 2 AND den > 0
+                            THEN (c1 - mean * (2.0 * s1 - fst - lst)
+                                  + (n - 1.0) * (mean * mean)) / den
+                       END AS acf1,
+                       vmin, vmax, vmax - vmin AS vrange,
+                       dmean AS diff_mean,
+                       CASE WHEN dden / (dn - 1) < 0 THEN 0
+                            ELSE dden / (dn - 1) END AS diff_var,
+                       sqrt(CASE WHEN dden / (dn - 1) < 0 THEN 0
+                                 ELSE dden / (dn - 1) END) AS diff_sd,
+                       CASE WHEN dn > 2 AND dden > 0
+                            THEN (dc1 - dmean * (2.0 * ds1 - dfst - dlst)
+                                  + (dn - 1.0) * (dmean * dmean)) / dden
+                       END AS diff_acf1
+                FROM step1
+            )
+            SELECT source,
+                   ROUND(AVG(length), 6) AS length,
+                   ROUND(AVG(mean), 6) AS mean,
+                   ROUND(AVG(var), 6) AS var,
+                   ROUND(AVG(sd), 6) AS sd,
+                   ROUND(AVG(acf1), 6) AS acf1,
+                   ROUND(AVG(vmin), 6) AS vmin,
+                   ROUND(AVG(vmax), 6) AS vmax,
+                   ROUND(AVG(vrange), 6) AS vrange,
+                   ROUND(AVG(diff_mean), 6) AS diff_mean,
+                   ROUND(AVG(diff_var), 6) AS diff_var,
+                   ROUND(AVG(diff_sd), 6) AS diff_sd,
+                   ROUND(AVG(diff_acf1), 6) AS diff_acf1
+            FROM derived
+            GROUP BY source
+            ORDER BY source
         """,
         "seq_token_histogram": f"""
             -- fixed-edge 256-bin histogram + bin-resolution quantiles:

@@ -73,9 +73,18 @@ def _decode_and_diagnose(batch: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
-def tier_diagnostics(out_dir: str, tier: str = "10x") -> pd.DataFrame:
-    """Per-source diagnostics computed purely from compressed tier rows."""
+def tier_diagnostics(out_dir: str, tier: str = "10x",
+                     gap_free: bool = False) -> pd.DataFrame:
+    """Per-source diagnostics computed purely from compressed tier rows.
+
+    ``gap_free=True`` restricts to rows with no gap sentinels — the
+    SQL-oracled mode where a DuckDB twin recomputes the same window
+    means/sd/acf1 from the RAW tokens (validating sequences -> rollup ->
+    Gorilla decode -> analytics end-to-end; gap-filled values are float
+    association-sensitive and stay rows-only)."""
     ds = read_tier_dataset(out_dir, tier)
+    if gap_free:
+        ds = ds.filter(expr="n_gap == 0")
     diag = ds.map_batches(_decode_and_diagnose, batch_format="pyarrow", batch_size=512)
 
     def combiner(batch: pa.Table) -> pa.Table:
