@@ -206,3 +206,35 @@ def test_conformance_map_covers_full_registry():
     assert res.returncode == 0, res.stdout + res.stderr
     assert "mapped kernels: 149" in res.stdout
     assert "0 failures" in res.stdout
+
+
+def test_golden_heavy_feature_values_stable():
+    """Regression net for the 41 heavy-only kernels (optimizer-backed
+    landmarking/model fits, simulated-null stat tests, GP kernels) — the
+    group with no reference cross-check in this container.  Values on two
+    deterministic synthetic rows must match the recorded goldens
+    (tests/golden_heavy.json); regenerate deliberately when semantics
+    change."""
+    import json
+    import os
+
+    from ts_pymfe_ray.functions.gapfill import gap_fill
+    from ts_pymfe_ray.synth import make_row_tokens
+
+    path = os.path.join(os.path.dirname(__file__), "golden_heavy.json")
+    with open(path) as f:
+        golden = json.load(f)
+    all_k = kernels_of(max_cost="heavy")
+    med = {k.name for k in kernels_of(max_cost="medium")}
+    heavy = [k for k in all_k if k.name not in med]
+    for doc_id, expect in golden.items():
+        x = gap_fill(make_row_tokens(doc_id))
+        out = evaluate_row(x[:512], doc_id, heavy)
+        for name, gval in expect.items():
+            v = out[name]
+            if gval is None:
+                assert not np.isfinite(v), f"{doc_id}/{name}: expected NaN got {v}"
+            else:
+                assert np.isclose(v, gval, rtol=1e-7, atol=1e-9), (
+                    f"{doc_id}/{name}: {v} != golden {gval}"
+                )
