@@ -86,6 +86,47 @@ def _running_linear(y: np.ndarray, half: int) -> tuple[np.ndarray, np.ndarray]:
     return fit, cv
 
 
+def _y_prefixes(Y: np.ndarray, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-wise (cum(y), cum(x*y)) prefixes for a (R, n) stack — one fused
+    cumsum, bitwise-identical to per-row cumsums (accumulate is per-row)."""
+    R, n = Y.shape
+    C = np.zeros((2 * R, n + 1))
+    np.cumsum(np.concatenate([Y, x * Y]), axis=1, out=C[:, 1:])
+    return C[:R], C[R:]
+
+
+def _rl_fit(cy: np.ndarray, cxy: np.ndarray, half: int, x: np.ndarray,
+            cx: np.ndarray, cxx: np.ndarray,
+            Y: np.ndarray | None = None):
+    """Running-linear fit for every row of prebuilt prefixes (same windowed
+    arithmetic as :func:`_running_linear`, evaluated per row of a (R, n)
+    stack).  When ``Y`` is given, also returns the LOO-CV residuals (only
+    the 3 primary smooths need them — the cv/span/final smooths skip the
+    leverage math entirely)."""
+    n = x.size
+    idx = np.arange(n)
+    lo = np.maximum(0, idx - half)
+    hi = np.minimum(n, idx + half + 1)
+    m = (hi - lo).astype(np.float64)
+    sy = cy[:, hi] - cy[:, lo]
+    sx = cx[hi] - cx[lo]
+    sxy = cxy[:, hi] - cxy[:, lo]
+    sxx = cxx[hi] - cxx[lo]
+    xbar = sx / m
+    ybar = sy / m
+    cov = sxy - sx * ybar
+    var = sxx - sx * xbar
+    with np.errstate(all="ignore"):
+        slope = np.where(var > 1e-12, cov / var, 0.0)
+        fit = ybar + slope * (x - xbar)
+        if Y is None:
+            return fit
+        h = 1.0 / m + np.where(var > 1e-12, (x - xbar) ** 2 / var, 0.0)
+    h = np.minimum(h, 0.999)
+    cv = np.abs(Y - fit) / (1.0 - h)
+    return fit, cv
+
+
 def supersmoother(y: np.ndarray) -> np.ndarray:
     """Friedman's Super Smoother trend estimate over x = 0..n-1."""
     y = np.asarray(y, dtype=np.float64)
@@ -97,21 +138,25 @@ def supersmoother(y: np.ndarray) -> np.ndarray:
     halfs = [max(2, int(round(s * n / 2.0))) for s in spans]
     mid_half = halfs[1]
 
+    x, cx, cxx = _x_prefixes(n)
+    Y = y[None, :]
+    cy, cxy = _y_prefixes(Y, x)  # shared by all 3 primary smooths
     fits = np.empty((3, n))
     cvs = np.empty((3, n))
     for k, hf in enumerate(halfs):
-        fits[k], cvs[k] = _running_linear(y, hf)
-        # smooth |cv| with the midrange span
-        cvs[k] = _running_linear(cvs[k], mid_half)[0]
+        fits[k], cvs[k] = _rl_fit(cy, cxy, hf, x, cx, cxx, Y=Y)
+    # smooth the |cv| curves with the midrange span — one batched pass
+    ccy, ccxy = _y_prefixes(cvs, x)
+    cvs = _rl_fit(ccy, ccxy, mid_half, x, cx, cxx)
 
     best = np.argmin(cvs, axis=0)
     span_opt = spans[best]
     # smooth the selected spans with the midrange span
-    span_smooth = _running_linear(span_opt, mid_half)[0]
+    scy, scxy = _y_prefixes(span_opt[None, :], x)
+    span_smooth = _rl_fit(scy, scxy, mid_half, x, cx, cxx)[0]
     span_smooth = np.clip(span_smooth, spans[0], spans[-1])
 
     # interpolate between the two bracketing primary smooths
-    res = np.empty(n)
     idx_hi = np.searchsorted(spans, span_smooth, side="left")
     idx_hi = np.clip(idx_hi, 1, 2)
     s_lo, s_hi = spans[idx_hi - 1], spans[idx_hi]
@@ -120,7 +165,8 @@ def supersmoother(y: np.ndarray) -> np.ndarray:
     res = (1 - f) * fits[idx_hi - 1, rows] + f * fits[idx_hi, rows]
 
     # final smooth with the tweeter span
-    return _running_linear(res, halfs[0])[0]
+    rcy, rcxy = _y_prefixes(res[None, :], x)
+    return _rl_fit(rcy, rcxy, halfs[0], x, cx, cxx)[0]
 
 
 # ---------------------------------------------------------------- loess (deg 1, equal spacing)
