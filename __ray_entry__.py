@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_stats": q.q_documents_stats,
         "documents_token_count": q.q_documents_token_count,
         "dedup_exact": q.q_dedup_exact,
+        "dedup_exact_keep_first": q.q_dedup_exact_keep_first,
         "embeddings_knn": q.q_embeddings_knn,
         "text_quality": t.q_text_quality,
         "events_daily_extremes": q.q_events_daily_extremes,
@@ -473,6 +474,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
             ORDER BY source
+        """,
+        "dedup_exact_keep_first": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY text
+            ORDER BY doc_id
         """,
         "embeddings_knn": """
             SELECT vec_id,

@@ -227,6 +227,36 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return g.sort_values("source").reset_index(drop=True)
 
 
+def q_dedup_exact_keep_first(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup MATERIALIZATION: one surviving row per distinct text —
+    hash-partitioned keep-first (min doc_id) semantics via a vectorized
+    groupby aggregate over content hashes; shuffles only (hash, doc_id)
+    rows, never text.  Returns the kept doc_ids with their duplicate
+    counts (the downstream pipeline reads the kept rows by id)."""
+    from ray.data.aggregate import Count, Min
+
+    from ts_pymfe_ray.pipelines.textops import _md5_64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        hs = [_md5_64(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.uint64()),
+                         "doc_id": batch.column("doc_id")})
+
+    g = (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id"), Count())
+        .to_pandas()
+    )
+    out = pd.DataFrame({
+        "doc_id": g["min(doc_id)"].astype("int64"),
+        "n_copies": g["count()"].astype("int64"),
+    })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_embeddings_knn(sf_dir: str, k: int = 5, query_vec_id: int = 0) -> pd.DataFrame:
     """Brute-force cosine top-k against a broadcast query vector: numpy
     matmul per batch, per-batch partial top-k, tiny final merge.  The
