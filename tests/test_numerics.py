@@ -131,3 +131,34 @@ def test_gp_fits_smooth_function():
     gp = GPModel(x, y)
     pred = gp.predict(x)
     assert np.max(np.abs(pred - y)) < 0.05
+
+
+def test_round_ha_matches_duckdb_round():
+    """round_ha is the driver-hash primitive: it must equal DuckDB's
+    half-away-from-zero ROUND bitwise on arbitrary doubles (np.round is
+    half-even and diverges on boundary values)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from ts_pymfe_ray.functions.rounding import round_ha
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e9, max_value=1e9),
+            # adversarial: values ON the 6dp half boundary
+            st.integers(min_value=-10**13, max_value=10**13).map(
+                lambda k: k / 2e6),
+        ),
+        st.sampled_from([6, 2, 0, -2]),
+    )
+    def check(v, nd):
+        got = round_ha(v, nd)
+        want = con.execute(
+            f"SELECT ROUND(CAST({v!r} AS DOUBLE), {nd})").fetchone()[0]
+        assert got == want or (np.isnan(got) and want is None), (v, nd, got, want)
+
+    check()
