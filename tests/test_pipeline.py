@@ -388,3 +388,23 @@ def test_explode_tier_relational_view(ray_session, seq_dir_small, tmp_path_facto
     np.testing.assert_allclose(one["win_mean"].to_numpy(), direct["mean"], rtol=1e-9)
     np.testing.assert_allclose(one["win_var"].to_numpy(), direct["var"], rtol=1e-9, equal_nan=True)
     assert one["window_id"].tolist() == list(range(len(one)))
+
+
+def test_comp_engine_csv_ingest_end_to_end(ray_session, tmp_path):
+    """The reference's own corpus CSV ingests into the sequences schema and
+    flows through the tier rollup + fast features unchanged."""
+    from ts_pymfe_ray.sources.comp_engine import ingest_comp_engine_csv
+    from ts_pymfe_ray.stages.fast_features import run_fast_features
+
+    seq_dir = ingest_comp_engine_csv(
+        "/root/reference/data/comp-engine-export-sample.20200503.csv",
+        str(tmp_path / "ce_seq"), max_obs=512,
+    )
+    out = str(tmp_path / "ce_tiers")
+    res = flagship.run_rollup(seq_dir, out, num_shards=2)
+    assert res["committed"] == 2
+    df = run_fast_features(seq_dir).to_pandas()
+    assert len(df) == 20  # the corpus has 20 series
+    assert (df["source"] == "comp-engine").all()
+    assert df["length"].between(1, 512).all()
+    assert np.isfinite(df["mean"]).all()

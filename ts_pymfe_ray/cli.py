@@ -34,7 +34,7 @@ def _ensure_ray(num_cpus: int | None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ts_pymfe_ray")
-    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention", "fast-features"])
+    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention", "fast-features", "ingest-csv"])
     ap.add_argument("--input", help="sequences parquet dir")
     ap.add_argument("--output", help="output dir (rollup/features)")
     ap.add_argument("--num-shards", type=int, default=8)
@@ -48,9 +48,9 @@ def main(argv=None):
 
     if args.job == "retention" and not args.output:
         ap.error("--output (the tier dir) is required for retention")
-    if args.job in ("rollup", "features", "source-rollup", "bootstrap", "fast-features") and not args.input:
+    if args.job in ("rollup", "features", "source-rollup", "bootstrap", "fast-features", "ingest-csv") and not args.input:
         ap.error(f"--input is required for job '{args.job}'")
-    if args.job in ("rollup", "features") and not args.output:
+    if args.job in ("rollup", "features", "ingest-csv") and not args.output:
         ap.error(f"--output is required for job '{args.job}'")
 
     _ensure_ray(args.num_cpus)
@@ -93,6 +93,11 @@ def main(argv=None):
 
         removed = apply_retention(args.output, tuple(args.drop_tiers.split(",")))
         print(json.dumps({"removed": removed}))
+    elif args.job == "ingest-csv":
+        from ts_pymfe_ray.sources.comp_engine import ingest_comp_engine_csv
+
+        out = ingest_comp_engine_csv(args.input, args.output)
+        print(json.dumps({"sequences": out}))
     elif args.job == "bootstrap":
         from ts_pymfe_ray.pipelines.bootstrap import bootstrap_features
 
