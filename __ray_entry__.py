@@ -20,7 +20,9 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-_OUT_ROOT = "/tmp/ts_pymfe_ray_entry_v2"
+# bumped per round: resume manifests fingerprint input+config but not
+# code, so a fresh root guarantees driver outputs reflect current code
+_OUT_ROOT = "/tmp/ts_pymfe_ray_entry_r2"
 
 # the engine's text-quality stopword list, quoted for SQL IN (...)
 _STOP_SQL = ", ".join(
