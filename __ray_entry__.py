@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_window_acf1": q.q_events_user_window_acf1,
         "events_gapfill_rollup": q.q_events_gapfill_rollup,
         "events_user_window_moments": q.q_events_user_window_moments,
+        "events_sessionize": q.q_events_sessionize,
+        "events_asof_purchase": q.q_events_asof_purchase,
         # rows-only: non-SQL-expressible operators
         "doc_fingerprints": t.q_doc_fingerprints,
         "text_quality_full": t.q_text_quality_full,
@@ -622,6 +624,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, window_id
             HAVING COUNT(*) = 16
             ORDER BY user_id, window_id
+        """,
+        "events_sessionize": """
+            -- session windows: a session breaks when the gap since the
+            -- user's previous event exceeds 30 minutes
+            WITH ordered AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS ptus
+                FROM events
+            ), sess AS (
+                SELECT user_id, tus,
+                       SUM(CASE WHEN ptus IS NULL OR tus - ptus > 1800000000
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+                FROM ordered
+            ), per_session AS (
+                SELECT user_id, sid, COUNT(*) AS c,
+                       MAX(tus) - MIN(tus) AS span
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   COUNT(*) AS n_sessions,
+                   CAST(MAX(c) AS BIGINT) AS max_session_events,
+                   ROUND(SUM(c) * 1.0 / COUNT(*), 6) AS avg_events_per_session,
+                   ROUND(CAST(SUM(span) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+                       AS avg_session_sec
+            FROM per_session
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "events_asof_purchase": """
+            -- as-of join: each click matches the user's latest purchase
+            -- strictly before it in (ts, event_id) order
+            WITH m AS (
+                SELECT event_id, event_type, epoch_us(ts) AS tus,
+                       last_value(CASE WHEN event_type = 'purchase'
+                                       THEN event_id END IGNORE NULLS)
+                           OVER w AS pid,
+                       last_value(CASE WHEN event_type = 'purchase'
+                                       THEN epoch_us(ts) END IGNORE NULLS)
+                           OVER w AS ptus
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id,
+                   COALESCE(pid, -1) AS purchase_event_id,
+                   COALESCE(tus - ptus, -1) AS lag_us
+            FROM m
+            WHERE event_type = 'click'
+            ORDER BY event_id
         """,
         "events_value_var": """
             SELECT event_type,

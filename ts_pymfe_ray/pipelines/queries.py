@@ -558,3 +558,73 @@ def q_events_user_window_moments(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
+
+
+def q_events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """SESSION WINDOWS (the windowed-aggregate class Ray Data lacks):
+    per user, a new session starts when the gap since the previous event
+    exceeds ``gap_minutes``.  Co-located per key via groupby; at scale the
+    same merge runs per (user, time-range) partition with boundary-carry.
+    Output: per-user session counts, the largest session, events/session
+    and mean session span."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64").to_numpy()  # microseconds
+        brk = np.concatenate([[True], np.diff(ts) > gap_us])
+        sid = np.cumsum(brk) - 1
+        n_sessions = int(sid[-1]) + 1
+        counts = np.bincount(sid)
+        spans = np.zeros(n_sessions, dtype=np.int64)
+        first = np.concatenate([np.flatnonzero(brk), [ts.size]])
+        for s in range(n_sessions):
+            spans[s] = ts[first[s + 1] - 1] - ts[first[s]]
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(df["user_id"].iloc[0])],
+                "n_events": [np.int64(ts.size)],
+                "n_sessions": [np.int64(n_sessions)],
+                "max_session_events": [np.int64(counts.max())],
+                "avg_events_per_session": [round_ha(ts.size / n_sessions)],
+                "avg_session_sec": [round_ha(int(spans.sum()) / n_sessions / 1_000_000.0)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_asof_purchase(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN (strictly-before LOCF match): every 'click' event joins
+    the latest 'purchase' of the SAME user ordered by (ts, event_id).
+    Expressed as per-key sort + one accumulate pass — the co-partitioned
+    sort-merge shape an as-of join takes at scale (hash-partition both
+    sides by key, sort within partition, single forward pass; time-range
+    partitions carry the last-seen row across boundaries)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64").to_numpy()
+        ids = df["event_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        is_p = et == "purchase"
+        idx = np.arange(ts.size)
+        last_p = np.maximum.accumulate(np.where(is_p, idx, -1))
+        before = np.concatenate([[-1], last_p[:-1]])  # strictly earlier rows
+        click = np.flatnonzero(et == "click")
+        m = before[click]
+        has = m >= 0
+        return pd.DataFrame(
+            {
+                "event_id": ids[click].astype(np.int64),
+                "purchase_event_id": np.where(has, ids[np.maximum(m, 0)], -1).astype(np.int64),
+                "lag_us": np.where(has, ts[click] - ts[np.maximum(m, 0)], -1).astype(np.int64),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
