@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_window_moments": q.q_events_user_window_moments,
         "events_sessionize": q.q_events_sessionize,
         "events_asof_purchase": q.q_events_asof_purchase,
+        "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
+        "events_range_join": q.q_events_range_join,
         # rows-only: non-SQL-expressible operators
         "doc_fingerprints": t.q_doc_fingerprints,
         "text_quality_full": t.q_text_quality_full,
@@ -678,6 +680,51 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE event_type = 'click'
             ORDER BY event_id
+        """,
+        "events_distinct_users_kmv": """
+            -- KMV distinct sketch twin: identical (k-1)*2^64/h_k estimate
+            -- from the same md5 hashes (k = 64)
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+                FROM events
+            ), ranked AS (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hv) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS nd
+                FROM h
+            )
+            SELECT event_type,
+                   CASE WHEN MAX(nd) >= 64
+                        THEN ROUND((64 - 1.0) * 18446744073709551616.0
+                                   / CAST(MAX(CASE WHEN rn = 64 THEN hv END)
+                                          AS DOUBLE), 6)
+                        ELSE MAX(nd) * 1.0 END AS est_distinct
+            FROM ranked
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "events_range_join": """
+            -- band join twin: errors x clicks of the same user within
+            -- +/- 60 s; nearest-lag via MIN over the in-band matches
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus
+                FROM events WHERE event_type = 'error'
+            ), c AS (
+                SELECT user_id, epoch_us(ts) AS tus
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT e.event_id,
+                   COUNT(c.tus) AS n_clicks_in_band,
+                   COALESCE(CAST(MIN(abs(c.tus - e.tus)) AS BIGINT), -1)
+                       AS nearest_click_lag_us
+            FROM e LEFT JOIN c
+              ON e.user_id = c.user_id
+             AND c.tus >= e.tus - 60000000
+             AND c.tus <= e.tus + 60000000
+            GROUP BY e.event_id
+            ORDER BY e.event_id
         """,
         "events_value_var": """
             SELECT event_type,

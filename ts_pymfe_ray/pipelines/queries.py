@@ -628,3 +628,77 @@ def q_events_asof_purchase(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_distinct_users_kmv(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """DISTINCT-COUNT SKETCH (KMV / k-minimum-values, mergeable): per
+    event_type, estimate distinct users from the k smallest distinct
+    md5 hashes — est = (k-1) * 2^64 / h_k.  Partials ship at most k
+    hashes per (type, batch); the merge keeps the k smallest of the
+    union (exact KMV merge).  Deterministic, so the DuckDB twin computes
+    the IDENTICAL estimate from the same hashes — an approximate
+    operator with an exact oracle."""
+    from ts_pymfe_ray.pipelines.textops import _md5_64
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "user_id": batch.column("user_id").to_numpy(),
+        })
+        rows_t, rows_h = [], []
+        for et, grp in df.groupby("event_type"):
+            hs = sorted({_md5_64(str(int(u))) for u in grp["user_id"].unique()})[:k]
+            rows_t.extend([et] * len(hs))
+            rows_h.extend(hs)
+        return pa.table({"event_type": pa.array(rows_t, pa.string()),
+                         "hv": pa.array(rows_h, pa.uint64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_t, out_e = [], []
+    for et, grp in partials.groupby("event_type"):
+        hs = sorted(set(grp["hv"].tolist()))
+        if len(hs) >= k:
+            est = (k - 1.0) * 18446744073709551616.0 / float(hs[k - 1])
+        else:
+            est = len(hs) * 1.0
+        out_t.append(et)
+        out_e.append(round_ha(est))
+    out = pd.DataFrame({"event_type": out_t, "est_distinct": out_e})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_range_join(sf_dir: str, band_sec: int = 60) -> pd.DataFrame:
+    """RANGE (band) JOIN: every 'error' event joins the 'click' events of
+    the SAME user within +/- band_sec.  Per-key sort + searchsorted window
+    (two-pointer band) — the interval-bucketed shape a distributed range
+    join takes at scale (bucket time by band width; each pair lands in
+    the bucket of its left end, so no pair is missed or doubled).
+    Output: per error event, the number of in-band clicks and the nearest
+    click's absolute lag."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    band_us = band_sec * 1_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64").to_numpy()
+        et = df["event_type"].to_numpy()
+        ids = df["event_id"].to_numpy()
+        click_ts = ts[et == "click"]
+        err = et == "error"
+        e_ts, e_id = ts[err], ids[err]
+        lo = np.searchsorted(click_ts, e_ts - band_us, side="left")
+        hi = np.searchsorted(click_ts, e_ts + band_us, side="right")
+        n_in = (hi - lo).astype(np.int64)
+        nearest = np.full(e_ts.size, -1, dtype=np.int64)
+        for j in range(e_ts.size):
+            if n_in[j] > 0:
+                w = click_ts[lo[j]:hi[j]]
+                nearest[j] = np.abs(w - e_ts[j]).min()
+        return pd.DataFrame({"event_id": e_id.astype(np.int64),
+                             "n_clicks_in_band": n_in,
+                             "nearest_click_lag_us": nearest})
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
