@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase": q.q_events_asof_purchase,
         "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
         "events_range_join": q.q_events_range_join,
+        "events_props_extract": q.q_events_props_extract,
         # rows-only: non-SQL-expressible operators
         "doc_fingerprints": t.q_doc_fingerprints,
         "text_quality_full": t.q_text_quality_full,
@@ -725,6 +726,21 @@ def oracle_sql() -> dict[str, str]:
              AND c.tus <= e.tus + 60000000
             GROUP BY e.event_id
             ORDER BY e.event_id
+        """,
+        "events_props_extract": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k,
+                   ROUND(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                         * 1.0 / COUNT(*), 6) AS mean_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_value_var": """
             SELECT event_type,

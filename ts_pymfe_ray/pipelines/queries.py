@@ -702,3 +702,39 @@ def q_events_range_join(sf_dir: str, band_sec: int = 60) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_props_extract(sf_dir: str) -> pd.DataFrame:
+    """SEMI-STRUCTURED EXTRACTION: parse the JSON ``props`` column and
+    aggregate the extracted key per event_type (the metadata-column scan
+    every training-data pipeline has).  json.loads per row inside
+    map_batches with partial aggregation — only (type, partial-sums) rows
+    leave the task."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch.column("props").to_pylist()),
+            dtype=np.int64,
+        )
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist(), "k": ks})
+        g = df.groupby("event_type").agg(
+            n=("k", "size"), s=("k", "sum"), mn=("k", "min"), mx=("k", "max")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("event_type").agg(
+        n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max")
+    ).reset_index()
+    out = pd.DataFrame({
+        "event_type": g["event_type"],
+        "n_events": g["n"].astype("int64"),
+        "sum_k": g["s"].astype("int64"),
+        "min_k": g["mn"].astype("int64"),
+        "max_k": g["mx"].astype("int64"),
+        "mean_k": round_ha((g["s"] / g["n"]).to_numpy()),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
