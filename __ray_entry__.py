@@ -88,6 +88,94 @@ def _lang_id_sql() -> str:
         """
 
 
+def _dedup_minhash_sql() -> str:
+    """DuckDB twin of the FULL MinHash+LSH pipeline: same md5 shingles,
+    same (a*x+b) mod p permutations (constants shared with the engine),
+    same md5 band keys, identical est = equal-positions/64."""
+    from ts_pymfe_ray.pipelines.textops import (
+        _A, _B, _MERSENNE, BANDS, NUM_PERM, ROWS_PER_BAND,
+    )
+
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(_A, _B))
+    )
+    r = ROWS_PER_BAND
+    return f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(string_split(text, ' ')) < 3
+                              THEN [md5_number_lower(text)]
+                              ELSE list_distinct(list_transform(
+                                  generate_series(1, len(string_split(text, ' ')) - 2),
+                                  i -> md5_number_lower(array_to_string(
+                                           (string_split(text, ' '))[i:i+2], ' '))))
+                              END) AS s
+                FROM documents
+            ), perms(perm, a, b) AS (VALUES {perm_rows}),
+            sig AS (
+                SELECT doc_id, perm,
+                       MIN((CAST(a AS UBIGINT) * (s % {_MERSENNE})
+                            + CAST(b AS UBIGINT)) % {_MERSENNE}) AS mv
+                FROM sh, perms
+                GROUP BY doc_id, perm
+            ), sigl AS (
+                SELECT doc_id, list(mv ORDER BY perm) AS sig
+                FROM sig GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, sig,
+                       md5_number_lower(
+                           array_to_string(sig[b*{r}+1 : b*{r}+{r}], ',')
+                           || '|' || b) AS bkey
+                FROM sigl, (SELECT unnest(generate_series(0, {BANDS - 1})) AS b)
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       x.sig AS sa, y.sig AS sb
+                FROM bands x JOIN bands y
+                  ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+            ), est AS (
+                SELECT doc_a, doc_b,
+                       len(list_filter(list_zip(sa, sb), z -> z[1] = z[2]))
+                           / {NUM_PERM}.0 AS e
+                FROM cand
+            )
+            SELECT doc_a, doc_b, ROUND(e, 6) AS est_jaccard
+            FROM est
+            WHERE e >= 0.6
+            ORDER BY doc_a, doc_b
+        """
+
+
+_DEDUP_SIMHASH_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               md5_number_lower(unnest(string_split(text, ' '))) AS h
+        FROM documents
+    ), bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        FROM w, (SELECT unnest(generate_series(0, 63)) AS b) t
+        GROUP BY doc_id, b
+    ), sim AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN score > 0 THEN CAST(1 AS UBIGINT) << b
+                             ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sh
+        FROM bits GROUP BY doc_id
+    ), segs AS (
+        SELECT doc_id, sh, s, (sh >> (16 * s)) & 65535 AS seg
+        FROM sim, (SELECT unnest(generate_series(0, 3)) AS s) t
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.sh AS ha, y.sh AS hb
+        FROM segs x JOIN segs y
+          ON x.s = y.s AND x.seg = y.seg AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY doc_a, doc_b
+"""
+
+
 def entry() -> Any:
     import pyarrow.dataset as pads
 
@@ -835,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
         "lang_id": _lang_id_sql(),
+        "dedup_minhash": _dedup_minhash_sql(),
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_ngram_jaccard": """
             -- exact-Jaccard twin of the distributed shingle inverted index
             -- (textops.q_dedup_ngram_jaccard): same md5_number_lower 3-word

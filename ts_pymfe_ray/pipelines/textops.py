@@ -67,12 +67,13 @@ def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
 
 
 def band_keys(sig: np.ndarray) -> list[int]:
-    """LSH band bucket keys: hash of each band's rows."""
+    """LSH band bucket keys: md5_64 of the band's decimal-joined values
+    plus the band index — bit-identical to the DuckDB twin's
+    md5_number_lower(array_to_string(band, ',') || '|' || b)."""
     keys = []
     for b in range(BANDS):
         chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-        h = hashlib.blake2b(chunk.tobytes() + bytes([b]), digest_size=8).digest()
-        keys.append(int.from_bytes(h, "little") >> 1)  # fit int64
+        keys.append(_md5_64(",".join(str(int(v)) for v in chunk) + "|" + str(b)))
     return keys
 
 
@@ -92,15 +93,15 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         texts = batch.column("text").to_pylist()
         rows = {"band_key": [], "doc_id": [], "sig": []}
         for i, t in enumerate(texts):
-            sh = _shingles(t)
-            sig = minhash_signature(sh)
+            sh = _md5_shingles(t)  # md5 base hash: SQL twin computes the
+            sig = minhash_signature(sh)  # identical signatures
             for key in band_keys(sig):
                 rows["band_key"].append(key)
                 rows["doc_id"].append(ids[i])
                 rows["sig"].append(sig.tobytes())
         return pa.table(
             {
-                "band_key": pa.array(rows["band_key"], pa.int64()),
+                "band_key": pa.array(rows["band_key"], pa.uint64()),
                 "doc_id": pa.array(rows["doc_id"], pa.int64()),
                 "sig": pa.array(rows["sig"], pa.binary()),
             }
@@ -146,7 +147,7 @@ def simhash64(text: str) -> np.uint64:
     words = text.split(" ")
     if not words:
         return np.uint64(0)
-    hashes = np.array([_hash64(w) for w in words], dtype=np.uint64)
+    hashes = np.array([_md5_64(w) for w in words], dtype=np.uint64)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     score = (2 * bits - 1).sum(axis=0)
     out = np.uint64(0)
