@@ -157,8 +157,9 @@ def test_round_ha_matches_duckdb_round():
     )
     def check(v, nd):
         got = round_ha(v, nd)
-        want = con.execute(
-            f"SELECT ROUND(CAST({v!r} AS DOUBLE), {nd})").fetchone()[0]
+        # bind as a real DOUBLE (the parquet data path): SQL float literals
+        # parse through DECIMAL and can constant-fold to a different double
+        want = con.execute(f"SELECT ROUND(?, {nd})", [float(v)]).fetchone()[0]
         assert got == want or (np.isnan(got) and want is None), (v, nd, got, want)
 
     check()
