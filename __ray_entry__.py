@@ -1203,10 +1203,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source,
                    CAST(MAX(n) AS BIGINT) AS n_tokens,
-                   MIN(CASE WHEN cum >= 0.25 * n THEN (b + 0.5) * 256.0 END) AS q25_est,
-                   MIN(CASE WHEN cum >= 0.5 * n THEN (b + 0.5) * 256.0 END) AS q50_est,
-                   MIN(CASE WHEN cum >= 0.75 * n THEN (b + 0.5) * 256.0 END) AS q75_est,
-                   MIN(CASE WHEN cum >= 0.95 * n THEN (b + 0.5) * 256.0 END) AS q95_est
+                   MIN(CASE WHEN cum >= CAST(0.25 AS DOUBLE) * n THEN (b + 0.5) * 256.0 END) AS q25_est,
+                   MIN(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * n THEN (b + 0.5) * 256.0 END) AS q50_est,
+                   MIN(CASE WHEN cum >= CAST(0.75 AS DOUBLE) * n THEN (b + 0.5) * 256.0 END) AS q75_est,
+                   MIN(CASE WHEN cum >= CAST(0.95 AS DOUBLE) * n THEN (b + 0.5) * 256.0 END) AS q95_est
             FROM cum
             GROUP BY source
             ORDER BY source
