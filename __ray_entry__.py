@@ -923,6 +923,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
         "lang_id": _lang_id_sql(),
+        "multimodal_decode": """
+            -- twin of the decode-stub rollup: f0 is the first md5 uint32
+            -- (little-endian) of the payload bytes / 2^32, payload = the
+            -- document text bytes, kind = blob/<source>
+            SELECT 'blob/' || source AS kind,
+                   COUNT(*) AS n_media,
+                   CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+                   ROUND(SUM((md5_number_upper(text) & 4294967295)
+                             / 4294967296.0) / COUNT(*), 6) AS mean_f0
+            FROM documents
+            GROUP BY kind
+            ORDER BY kind
+        """,
         "dedup_minhash": _dedup_minhash_sql(),
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_ngram_jaccard": """

@@ -33,9 +33,11 @@ class MediaDecodeStage:
     def _decode_payload(self, payload: bytes) -> np.ndarray:
         """STUB — deterministic fake decode.  A real implementation would
         raise NotImplementedError without the media libs; here we derive a
-        stable FEATURE_DIM-float vector from the payload bytes so the
-        plumbing is testable end-to-end."""
-        h = hashlib.blake2b(payload, digest_size=FEATURE_DIM * 4, key=b"decode").digest()
+        stable FEATURE_DIM-float vector from md5 digests of the payload so
+        the plumbing is testable end-to-end AND the per-kind rollup has an
+        exact DuckDB twin (f0 = first md5 uint32, little-endian, / 2^32 ==
+        (md5_number_upper & 0xFFFFFFFF) / 2^32 in SQL)."""
+        h = hashlib.md5(payload).digest() + hashlib.md5(payload + b"\x01").digest()
         return (
             np.frombuffer(h, dtype=np.uint32).astype(np.float64) / np.float64(2**32)
         )
