@@ -91,7 +91,7 @@ def run_features_bench(seq_dir: str, tag: str, max_cost: str = "cheap") -> dict:
     out = os.path.join(BENCH_OUT, f"features_{tag}_{max_cost}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
-    flagship.run_features(seq_dir, out, max_cost=max_cost, num_shards=8, batch_size=64)
+    flagship.run_features(seq_dir, out, max_cost=max_cost, num_shards=8, batch_size=256)
     return {"sec": time.perf_counter() - t0, "out": out}
 
 

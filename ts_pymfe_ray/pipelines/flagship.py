@@ -222,12 +222,17 @@ def run_features(
     max_cost: str = "medium",
     num_shards: int = 4,
     resume: bool = True,
-    batch_size: int = 32,
+    batch_size: int = 256,
     concurrency: int | None = None,
 ) -> dict:
     """Per-series feature extraction.  Heavy kernel packs (GP / model fits)
     run the stage as an actor pool (``concurrency``) so per-actor setup is
-    amortized; cheap/medium packs run as stateless tasks."""
+    amortized; cheap/medium packs run as stateless tasks.
+
+    ``batch_size`` 256 amortizes per-task scheduling over the ~ms/row
+    kernels (64 -> 256 measured 18.6s -> ~14s at sf0.1/32cpus) while
+    keeping worst-case batches tens of MB; drop it for HEAVY packs
+    (seconds/row — small batches keep the pool load-balanced)."""
     files = list_parquet_files(input_dir)
     shards = shard_files(files, num_shards)
     config = {"job": "features", "groups": sorted(groups) if groups else None, "max_cost": max_cost}
