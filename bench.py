@@ -137,6 +137,15 @@ def single_run(sf_dir: str, num_cpus: int, jobs: list[str]) -> dict:
     if "source_rollup" in jobs:
         r = run_source_rollup_bench(seq_dir)
         queries["source_rollup_100x"] = round(r["sec"], 3)
+    if "textops" in jobs and os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        from ts_pymfe_ray.pipelines.textops import q_dedup_minhash, q_embeddings_ann_ivf
+
+        t0 = time.perf_counter()
+        q_dedup_minhash(sf_dir)
+        queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        q_embeddings_ann_ivf(sf_dir)
+        queries["ann_ivf"] = round(time.perf_counter() - t0, 3)
     if "events" in jobs and os.path.exists(os.path.join(sf_dir, "events.parquet")):
         from ts_pymfe_ray.pipelines.queries import q_events_window_rollup
 
@@ -214,7 +223,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
-    ap.add_argument("--jobs", default="rollup,fast_features,features,source_rollup,events")
+    ap.add_argument("--jobs", default="rollup,fast_features,features,source_rollup,textops,events")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--single-run", action="store_true")
     args = ap.parse_args()
