@@ -74,9 +74,17 @@ def calc_ami_lags(c: SeriesCtx, num_bins: int = 64) -> np.ndarray:
     return np.array([calc_ami(detr, lag, num_bins) for lag in range(1, L + 1)])
 
 
+def _hist10_entropy(c: SeriesCtx) -> float:
+    """Normalized 10-bin histogram entropy of c.ts — shared (ctx-cached)
+    by hist_entropy and hist_ent_out_diff's e_all term."""
+    return c._get(
+        "hist10_ent",
+        lambda: shannon_entropy(np.histogram(c.ts, bins=10, density=True)[0]) / np.log2(10),
+    )
+
+
 register(FeatureKernel(
-    "hist_entropy", "info_theory",
-    lambda c: shannon_entropy(np.histogram(c.ts, bins=10, density=True)[0]) / np.log2(10),
+    "hist_entropy", "info_theory", _hist10_entropy,
     ref="info_theory.py:221 (normalized base-2 entropy of 10-bin density histogram)",
 ))
 
@@ -84,7 +92,7 @@ register(FeatureKernel(
 def _hist_ent_out_diff(c: SeriesCtx, num_bins: int = 10, pcut: float = 0.05) -> float:
     lo, hi = np.quantile(c.ts, (pcut, 1 - pcut))
     inl = c.ts[(c.ts >= lo) & (c.ts <= hi)]
-    e_all = shannon_entropy(np.histogram(c.ts, bins=num_bins, density=True)[0]) / np.log2(num_bins)
+    e_all = _hist10_entropy(c)
     e_in = shannon_entropy(np.histogram(inl, bins=num_bins, density=True)[0]) / np.log2(num_bins)
     return e_all - e_in
 
