@@ -606,7 +606,9 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16,
 
     Returns (index_dir, centroids)."""
     src = os.path.join(sf_dir, "embeddings.parquet")
-    tag = hashlib.blake2b(f"{os.path.abspath(src)}|{n_cells}".encode(),
+    # layout-version suffix: bump when the quantizer/assignment code
+    # changes so a cached layout from older code is never reused
+    tag = hashlib.blake2b(f"{os.path.abspath(src)}|{n_cells}|ivf-v1".encode(),
                           digest_size=8).hexdigest()
     out_dir = os.path.join(_IVF_CACHE_ROOT, tag)
     cpath = os.path.join(out_dir, "_centroids.npy")
