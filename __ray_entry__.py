@@ -31,8 +31,16 @@ _STOP_SQL = ", ".join(
 )
 
 # driver correctness runs at sf0.01; the seq_* oracles read the SAME
-# deterministic synthesized sequences table the queries use
-_SEQ_GLOB = "/tmp/ts_pymfe_ray_data/sequences_sf0.01/*.parquet"
+# deterministic synthesized sequences table the queries use.  The glob is
+# built from the scale factor the engine queries actually ran at
+# (synth.LAST_DRIVER_SF, recorded by ensure_sequences_for_dir) so an
+# sf-mismatched comparison is impossible.
+
+
+def _seq_glob() -> str:
+    from ts_pymfe_ray.synth import LAST_DRIVER_SF, sequences_path
+
+    return os.path.join(sequences_path(LAST_DRIVER_SF[0]), "*.parquet")
 
 
 def _lang_id_sql() -> str:
@@ -485,11 +493,12 @@ def oracle_sql() -> dict[str, str]:
     # exists even if the driver evaluates oracles before running queries()
     # (cached no-op after the first call — synthesis is deterministic)
     try:
-        from ts_pymfe_ray.synth import ensure_sequences
+        from ts_pymfe_ray.synth import LAST_DRIVER_SF, ensure_sequences
 
-        ensure_sequences(0.01)
+        ensure_sequences(LAST_DRIVER_SF[0])
     except Exception:
         pass
+    _SEQ_GLOB = _seq_glob()  # local shadow: the f-strings below read it
     return {
         "events_window_rollup": """
             SELECT event_type,

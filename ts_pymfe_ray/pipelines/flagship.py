@@ -435,8 +435,18 @@ def _filter_gapfree(batch: pa.Table) -> pa.Table:
     sensitive at the driver hash's rounding grid, integer sums are not)."""
     from ts_pymfe_ray.stages.rollup import tokens_views
 
-    views, _, _ = tokens_views(batch)
-    keep = [i for i, v in enumerate(views) if not (v == -1).any()]
+    _, offsets, flat = tokens_views(batch)
+    if len(offsets) <= 1:
+        return batch
+    # per-row min over the flat values in one reduceat — a row is gap-free
+    # iff its minimum is not the -1 sentinel (tokens are >= 0 otherwise);
+    # empty rows (offset[i] == offset[i+1]) are kept as gap-free
+    mins = np.full(len(offsets) - 1, np.iinfo(np.int64).max, dtype=np.int64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if flat.size:
+        red = np.minimum.reduceat(flat.astype(np.int64, copy=False), offsets[:-1][nonempty])
+        mins[nonempty] = red
+    keep = np.flatnonzero(mins != -1)
     return batch.take(pa.array(keep, pa.int64()))
 
 

@@ -233,20 +233,28 @@ def q_dedup_exact_keep_first(sf_dir: str) -> pd.DataFrame:
     groupby aggregate over content hashes; shuffles only (hash, doc_id)
     rows, never text.  Returns the kept doc_ids with their duplicate
     counts (the downstream pipeline reads the kept rows by id)."""
-    from ray.data.aggregate import Count, Min
+    import hashlib
 
-    from ts_pymfe_ray.pipelines.textops import _md5_64
+    from ray.data.aggregate import Count, Min
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def hash_rows(batch: pa.Table) -> pa.Table:
-        hs = [_md5_64(t) for t in batch.column("text").to_pylist()]
-        return pa.table({"h": pa.array(hs, pa.uint64()),
+        # full 128-bit digest as two uint64 group keys: a 64-bit key would
+        # silently merge two distinct documents on a collision — negligible
+        # here but a real hazard at the 1e9-doc scale this targets
+        lo, hi = [], []
+        for t in batch.column("text").to_pylist():
+            d = hashlib.md5(t.encode()).digest()
+            lo.append(int.from_bytes(d[8:16], "little"))
+            hi.append(int.from_bytes(d[:8], "little"))
+        return pa.table({"h_lo": pa.array(lo, pa.uint64()),
+                         "h_hi": pa.array(hi, pa.uint64()),
                          "doc_id": batch.column("doc_id")})
 
     g = (
         ds.map_batches(hash_rows, batch_format="pyarrow")
-        .groupby("h")
+        .groupby(["h_lo", "h_hi"])
         .aggregate(Min("doc_id"), Count())
         .to_pandas()
     )
@@ -573,7 +581,7 @@ def q_events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
-        ts = df["ts"].astype("int64").to_numpy()  # microseconds
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()  # microseconds
         brk = np.concatenate([[True], np.diff(ts) > gap_us])
         sid = np.cumsum(brk) - 1
         n_sessions = int(sid[-1]) + 1
@@ -608,7 +616,7 @@ def q_events_asof_purchase(sf_dir: str) -> pd.DataFrame:
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
-        ts = df["ts"].astype("int64").to_numpy()
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         ids = df["event_id"].to_numpy()
         et = df["event_type"].to_numpy()
         is_p = et == "purchase"
@@ -682,7 +690,7 @@ def q_events_range_join(sf_dir: str, band_sec: int = 60) -> pd.DataFrame:
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
-        ts = df["ts"].astype("int64").to_numpy()
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         et = df["event_type"].to_numpy()
         ids = df["event_id"].to_numpy()
         click_ts = ts[et == "click"]

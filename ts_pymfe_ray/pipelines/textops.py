@@ -606,10 +606,15 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16,
 
     Returns (index_dir, centroids)."""
     src = os.path.join(sf_dir, "embeddings.parquet")
-    # layout-version suffix: bump when the quantizer/assignment code
-    # changes so a cached layout from older code is never reused
-    tag = hashlib.blake2b(f"{os.path.abspath(src)}|{n_cells}|ivf-v1".encode(),
-                          digest_size=8).hexdigest()
+    # cache key covers the input's identity AND content generation
+    # (mtime+size — a regenerated file at the same path invalidates the
+    # layout), every build parameter, and a layout-version suffix bumped
+    # when the quantizer/assignment code changes
+    st = os.stat(src)
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{n_cells}|{sample_rows}|ivf-v2".encode(),
+        digest_size=8,
+    ).hexdigest()
     out_dir = os.path.join(_IVF_CACHE_ROOT, tag)
     cpath = os.path.join(out_dir, "_centroids.npy")
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):

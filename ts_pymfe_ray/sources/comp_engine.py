@@ -35,11 +35,26 @@ SEQ_SCHEMA = pa.schema(
 
 
 def quantize_series(v: np.ndarray) -> np.ndarray:
-    """Min-max quantization to [0, TOKEN_MAX] (synth.py:102-104 rule)."""
+    """Min-max quantization to [0, TOKEN_MAX] (synth.py:102-104 rule).
+
+    Non-finite observations (NaN/inf from a dirty export row) are dropped
+    before quantization — the reference harness cleans its corpus the same
+    way — and an all-bad/empty series quantizes to an empty token array
+    instead of crashing or emitting garbage."""
     v = np.asarray(v, dtype=np.float64)
+    v = v[np.isfinite(v)]
+    if v.size == 0:
+        return np.empty(0, dtype=np.int32)
     lo, hi = float(v.min()), float(v.max())
     scale = (TOKEN_MAX / (hi - lo)) if hi > lo else 0.0
     return np.rint((v - lo) * scale).astype(np.int32)
+
+
+def _safe_float(x: str) -> float:
+    try:
+        return float(x)
+    except ValueError:
+        return float("nan")
 
 
 def read_comp_engine_csv(path: str, source: str = "comp-engine",
@@ -55,7 +70,11 @@ def read_comp_engine_csv(path: str, source: str = "comp-engine",
         dps = batch.column("datapoints").to_pylist()
         toks, ntoks = [], []
         for s in dps:
-            v = np.asarray(s.split(","), dtype=np.float64)
+            parts = s.split(",")
+            try:
+                v = np.asarray(parts, dtype=np.float64)
+            except ValueError:  # unparseable cell -> NaN, dropped by quantize
+                v = np.array([_safe_float(x) for x in parts], dtype=np.float64)
             if max_obs:
                 v = v[-max_obs:]
             tok = quantize_series(v)

@@ -188,6 +188,15 @@ def ensure_sequences(sf: float, cache_root: str = CACHE_ROOT, use_ray: bool | No
     return out_dir
 
 
+# scale factor of the most recent driver-facing ensure_sequences_for_dir
+# call — the SQL oracles build their read_parquet glob from this, so the
+# twins always read the SAME corpus the engine queries ran on (the driver
+# evaluates at sf0.01 today; this keeps the pair in lockstep if it moves)
+LAST_DRIVER_SF: list = [0.01]
+
+
 def ensure_sequences_for_dir(sf_dir: str, cache_root: str = CACHE_ROOT) -> str:
     """Sequences table matching the scale of a /root/testdata/sfX dir."""
-    return ensure_sequences(sf_from_dir(sf_dir), cache_root)
+    sf = sf_from_dir(sf_dir)
+    LAST_DRIVER_SF[0] = sf
+    return ensure_sequences(sf, cache_root)
