@@ -204,3 +204,58 @@ def test_ivf_partitioned_layout(ray_session, tmp_path):
     # cached second run must be identical (layout reused, not rebuilt)
     out2 = t.q_embeddings_ann_ivf(SF, k=5, query_vec_id=0)
     assert out.equals(out2)
+
+
+def test_md5vec_bit_parity_with_hashlib():
+    """The vectorized MD5 core must match hashlib bit-for-bit on every
+    padding regime (empty, one-, two- and many-block messages) — the text
+    operators' SQL oracles are locked to md5_number_lower semantics."""
+    import hashlib
+
+    from ts_pymfe_ray.functions import md5vec
+
+    rng = np.random.default_rng(7)
+    items = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+             for n in list(range(0, 130)) + [183, 184, 247, 248, 500, 4097]]
+    rng.shuffle(items)
+    lo, hi = md5vec.md5_pair64(*md5vec.pack_bytes(items))
+    for i, b in enumerate(items):
+        d = hashlib.md5(b).digest()
+        assert lo[i] == int.from_bytes(d[8:16], "little")
+        assert hi[i] == int.from_bytes(d[:8], "little")
+
+
+def test_md5vec_word_windows_match_join():
+    """Window (offset, length) views hash identically to the Python
+    ' '.join construction, including multi-byte UTF-8 words."""
+    import hashlib
+
+    from ts_pymfe_ray.functions import md5vec
+
+    for text, k in [("the quick brown fox jumps over it", 3),
+                    ("你好 世界 测试 foo bar", 2),
+                    ("one two", 5),  # fewer words than k -> whole text
+                    ("", 3)]:
+        enc = text.encode()
+        offs, lens, _ = md5vec.word_windows(enc, k)
+        got = md5vec.md5_lower64(np.frombuffer(enc, np.uint8), offs, lens)
+        words = text.split(" ")
+        if len(words) < k:
+            exp = [int.from_bytes(hashlib.md5(enc).digest()[8:16], "little")]
+        else:
+            exp = [int.from_bytes(
+                hashlib.md5(" ".join(words[i:i + k]).encode()).digest()[8:16],
+                "little") for i in range(len(words) - k + 1)]
+        assert got.tolist() == exp
+
+
+def test_batch_hashers_match_single_doc():
+    texts = ["alpha beta gamma delta epsilon zeta", "x", "",
+             "one two three four five six seven eight nine ten"]
+    sims = t.simhash64_batch(texts)
+    fps = t.rolling_fingerprints_batch(texts)
+    for i, txt in enumerate(texts):
+        assert sims[i] == t.simhash64(txt)
+        assert fps[i] == t.rolling_fingerprint(txt)
+        assert set(t._md5_shingles_batch(texts)[i].tolist()) == set(
+            t._md5_shingles(txt).tolist())

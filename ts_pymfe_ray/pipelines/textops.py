@@ -20,6 +20,9 @@ import pyarrow as pa
 
 import ray.data
 
+from ts_pymfe_ray.functions.md5vec import (
+    md5_lower64, md5_lower64_list, word_windows,
+)
 from ts_pymfe_ray.functions.rounding import round_ha
 
 NUM_PERM = 64
@@ -58,23 +61,152 @@ _A = _rng.integers(1, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
 
 
+def _mod_mersenne(v: np.ndarray, tmp: np.ndarray | None = None) -> np.ndarray:
+    """v mod (2^31 - 1) IN PLACE via bit-folding (2^31 === 1 mod M),
+    exactly equal to ``v % M`` — numpy's uint64 ``%`` is a per-element C
+    division and dominates the minhash wall time otherwise.  ``tmp`` is a
+    same-shape scratch buffer; every op is in-place (fresh large
+    allocations page-fault at this container's capped memory bandwidth)."""
+    m = np.uint64(_MERSENNE)
+    s = np.uint64(31)
+    if tmp is None:
+        tmp = np.empty_like(v)
+    for _ in range(2):  # two folds: <= M + 2^33, then <= M + 4
+        np.right_shift(v, s, out=tmp)
+        v &= m
+        v += tmp
+    # exact residue: v - m wraps past 2^64 when v < m, so minimum() picks
+    # the unwrapped value iff v >= m (and M itself folds to 0)
+    np.subtract(v, m, out=tmp)
+    np.minimum(v, tmp, out=v)
+    return v
+
+
 def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
     """(NUM_PERM,) minhash signature — one vectorized (perm x shingle)
     modmul, exact in uint64 thanks to the 31-bit modulus."""
-    x = (shingle_hashes % np.uint64(_MERSENNE)).astype(np.uint64)
-    vals = (_A[:, None] * x[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    x = _mod_mersenne(np.asarray(shingle_hashes, dtype=np.uint64))
+    vals = _mod_mersenne(_A[:, None] * x[None, :] + _B[:, None])
     return vals.min(axis=1)
+
+
+def minhash_signatures_batch(shingle_lists: list[np.ndarray]) -> np.ndarray:
+    """(N, NUM_PERM) signatures for a batch of shingle-hash sets: ONE
+    (perm x all-shingles) modmul + per-doc minimum.reduceat, chunked so the
+    permutation matrix stays ~50 MB regardless of batch size."""
+    n = len(shingle_lists)
+    out = np.empty((n, NUM_PERM), dtype=np.uint64)
+    sizes = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64, count=n)
+    # fixed-size cache-resident work buffers reused across chunks — all
+    # hot ops are in-place, no per-chunk large allocation
+    chunk = 32768
+    work = np.empty((NUM_PERM, chunk), dtype=np.uint64)
+    scratch = np.empty((NUM_PERM, chunk), dtype=np.uint64)
+    start = 0
+    while start < n:
+        end, tot = start, 0
+        while end < n and (tot == 0 or tot + sizes[end] <= chunk):
+            tot += sizes[end]
+            end += 1
+        flat = np.concatenate(shingle_lists[start:end]) if tot else np.empty(0, np.uint64)
+        x = _mod_mersenne(flat)
+        if tot > chunk:  # one giant doc exceeds the fixed buffers
+            w = np.empty((NUM_PERM, tot), dtype=np.uint64)
+            sc = np.empty_like(w)
+        else:
+            w, sc = work[:, :tot], scratch[:, :tot]
+        np.multiply(_A[:, None], x[None, :], out=w)
+        w += _B[:, None]
+        _mod_mersenne(w, sc)
+        offs = np.zeros(end - start, dtype=np.int64)
+        np.cumsum(sizes[start : end - 1], out=offs[1:])
+        out[start:end] = np.minimum.reduceat(w, offs, axis=1).T
+        start = end
+    return out
 
 
 def band_keys(sig: np.ndarray) -> list[int]:
     """LSH band bucket keys: md5_64 of the band's decimal-joined values
     plus the band index — bit-identical to the DuckDB twin's
     md5_number_lower(array_to_string(band, ',') || '|' || b)."""
-    keys = []
-    for b in range(BANDS):
-        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-        keys.append(_md5_64(",".join(str(int(v)) for v in chunk) + "|" + str(b)))
-    return keys
+    return band_keys_batch(sig[None, :])[0].tolist()
+
+
+def band_keys_batch(sigs: np.ndarray) -> np.ndarray:
+    """(N, BANDS) uint64 band keys for a (N, NUM_PERM) signature matrix —
+    band strings built per row, all hashed in one vectorized md5 pass."""
+    items = []
+    for r in range(sigs.shape[0]):
+        s = sigs[r]
+        for b in range(BANDS):
+            chunk = s[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            items.append((",".join(str(int(v)) for v in chunk) + "|" + str(b)).encode())
+    return md5_lower64_list(items).reshape(sigs.shape[0], BANDS)
+
+
+def _doc_windows(texts: list[str], k: int):
+    """Batch k-word-window layout over a whole batch of documents: one
+    concatenated UTF-8 buffer + window (offset, length) views + per-doc
+    window offsets.  Zero per-window Python work — a k-word window of a
+    space-joined text IS a contiguous substring of its encoding.
+
+    Returns (flat_uint8, win_offsets, win_lengths, doc_win_offsets) where
+    doc_win_offsets has len(texts)+1 entries (documents with fewer than k
+    words contribute one whole-text window, matching the single-doc
+    fallbacks)."""
+    encs = [t.encode() for t in texts]
+    flat = np.frombuffer(b"".join(encs), dtype=np.uint8)
+    offs_l, lens_l = [], []
+    doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
+    base = 0
+    for i, e in enumerate(encs):
+        o, l, _ = word_windows(e, k, base=base)
+        offs_l.append(o)
+        lens_l.append(l)
+        doc_off[i + 1] = doc_off[i] + len(o)
+        base += len(e)
+    if not encs:
+        return flat, np.empty(0, np.int64), np.empty(0, np.int64), doc_off
+    return flat, np.concatenate(offs_l), np.concatenate(lens_l), doc_off
+
+
+def _md5_shingles_batch(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Per-doc DISTINCT word-k-shingle md5_64 hashes for a whole batch —
+    one vectorized md5 pass over every window of every doc."""
+    flat, offs, lens, doc_off = _doc_windows(texts, k)
+    h = md5_lower64(flat, offs, lens)
+    return [np.unique(h[doc_off[i] : doc_off[i + 1]]) for i in range(len(texts))]
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """(N,) uint64 SimHash values: all words of all docs hashed in one
+    vectorized md5 pass, per-doc bit scores via one add.reduceat."""
+    if not texts:
+        return np.empty(0, np.uint64)
+    flat, offs, lens, doc_off = _doc_windows(texts, 1)
+    h = md5_lower64(flat, offs, lens)
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    # per-doc slice sums beat reduceat/cumsum here by ~50x: the big-matrix
+    # alternatives write O(words x 64 x 4B) intermediates, which this
+    # container's capped memory bandwidth turns into seconds
+    n = len(texts)
+    cnt = np.empty((n, 64), dtype=np.int32)
+    for i in range(n):
+        bits[doc_off[i] : doc_off[i + 1]].sum(axis=0, dtype=np.int32, out=cnt[i])
+    nwords = np.diff(doc_off)[:, None].astype(np.int32)
+    pos = (2 * cnt - nwords) > 0  # majority vote == sign(sum of +/-1)
+    packed = np.packbits(pos, axis=1, bitorder="little")
+    return np.ascontiguousarray(packed).view(np.uint64).ravel()
+
+
+def rolling_fingerprints_batch(texts: list[str], window: int = 8) -> np.ndarray:
+    """(N,) uint64 winnowing-lite fingerprints: min md5_64 over rolling
+    ``window``-word windows, one vectorized md5 pass per batch."""
+    if not texts:
+        return np.empty(0, np.uint64)
+    flat, offs, lens, doc_off = _doc_windows(texts, window)
+    h = md5_lower64(flat, offs, lens)
+    return np.minimum.reduceat(h, doc_off[:-1])
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -89,21 +221,20 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     ds = _read_docs(sf_dir)
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
+        ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        rows = {"band_key": [], "doc_id": [], "sig": []}
-        for i, t in enumerate(texts):
-            sh = _md5_shingles(t)  # md5 base hash: SQL twin computes the
-            sig = minhash_signature(sh)  # identical signatures
-            for key in band_keys(sig):
-                rows["band_key"].append(key)
-                rows["doc_id"].append(ids[i])
-                rows["sig"].append(sig.tobytes())
+        # md5 base hashes: the SQL twin computes the identical signatures
+        sigs = minhash_signatures_batch(_md5_shingles_batch(texts))
+        keys = band_keys_batch(sigs)
+        sig_bytes = [s.tobytes() for s in sigs]
         return pa.table(
             {
-                "band_key": pa.array(rows["band_key"], pa.uint64()),
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-                "sig": pa.array(rows["sig"], pa.binary()),
+                "band_key": pa.array(keys.ravel(), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, BANDS), pa.int64()),
+                "sig": pa.array(
+                    [sig_bytes[i] for i in range(len(texts)) for _ in range(BANDS)],
+                    pa.binary(),
+                ),
             }
         )
 
@@ -144,16 +275,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
 
 
 def simhash64(text: str) -> np.uint64:
-    words = text.split(" ")
-    if not words:
-        return np.uint64(0)
-    hashes = np.array([_md5_64(w) for w in words], dtype=np.uint64)
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    score = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for b in np.flatnonzero(score > 0):
-        out |= np.uint64(1) << np.uint64(b)
-    return out
+    return np.uint64(simhash64_batch([text])[0])
 
 
 def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
@@ -162,21 +284,16 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     ds = _read_docs(sf_dir)
 
     def to_segments(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        rows = {"seg_key": [], "doc_id": [], "sim": []}
-        for i, t in enumerate(texts):
-            h = simhash64(t)
-            for s in range(4):
-                seg = int((h >> np.uint64(16 * s)) & np.uint64(0xFFFF))
-                rows["seg_key"].append((seg << 2) | s)
-                rows["doc_id"].append(ids[i])
-                rows["sim"].append(int(h))
+        ids = batch.column("doc_id").to_numpy()
+        h = simhash64_batch(batch.column("text").to_pylist())
+        s_idx = np.arange(4, dtype=np.uint64)
+        seg = (h[:, None] >> (np.uint64(16) * s_idx)[None, :]) & np.uint64(0xFFFF)
+        seg_key = ((seg.astype(np.int64) << 2) | s_idx.astype(np.int64)[None, :]).ravel()
         return pa.table(
             {
-                "seg_key": pa.array(rows["seg_key"], pa.int64()),
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-                "sim": pa.array(rows["sim"], pa.uint64()),
+                "seg_key": pa.array(seg_key, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "sim": pa.array(np.repeat(h, 4), pa.uint64()),
             }
         )
 
@@ -217,11 +334,7 @@ def _md5_shingles(text: str, k: int = 3) -> np.ndarray:
     """Distinct word k-shingle hashes using the low 64 MD5 bits — the same
     hash DuckDB's md5_number_lower computes, so the exact-Jaccard dedup has
     a bit-identical SQL oracle twin."""
-    words = text.split(" ")
-    if len(words) < k:
-        return np.array([_md5_64(text)], dtype=np.uint64)
-    hs = {_md5_64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    return _md5_shingles_batch([text], k)[0]
 
 
 def q_dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5,
@@ -251,8 +364,7 @@ def q_dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5,
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out_b, out_s, out_d, out_n = [], [], [], []
-        for i, t in enumerate(texts):
-            hs = _md5_shingles(t)
+        for i, hs in enumerate(_md5_shingles_batch(texts)):
             out_s.append(hs)
             out_b.append((hs % np.uint64(num_buckets)).astype(np.int64))
             out_d.append(np.full(hs.size, ids[i], dtype=np.int64))
@@ -552,11 +664,7 @@ def _md5_64(s: str) -> int:
 def rolling_fingerprint(text: str, window: int = 8) -> int:
     """Rabin-Karp-style rolling-hash document fingerprint: min hash over
     rolling word windows (winnowing-lite)."""
-    words = text.split(" ")
-    if len(words) <= window:
-        return _md5_64(text)
-    hs = [_md5_64(" ".join(words[i : i + window])) for i in range(len(words) - window + 1)]
-    return min(hs)
+    return int(rolling_fingerprints_batch([text], window)[0])
 
 
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -564,7 +672,7 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
     def combiner(batch: pa.Table) -> pa.Table:
         src = batch.column("source").to_pylist()
-        fps = [rolling_fingerprint(t) for t in batch.column("text").to_pylist()]
+        fps = rolling_fingerprints_batch(batch.column("text").to_pylist())
         return pa.table({"source": src, "fp": pa.array(fps, pa.uint64())})
 
     fps = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
