@@ -335,7 +335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_rollup": q.q_events_gapfill_rollup,
         "events_user_window_moments": q.q_events_user_window_moments,
         "events_sessionize": q.q_events_sessionize,
+        "events_sessionize_carry": q.q_events_sessionize_carry,
         "events_asof_purchase": q.q_events_asof_purchase,
+        "events_asof_carry": q.q_events_asof_purchase_carry,
         "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
         "events_range_join": q.q_events_range_join,
         "events_props_extract": q.q_events_props_extract,
@@ -499,7 +501,7 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass
     _SEQ_GLOB = _seq_glob()  # local shadow: the f-strings below read it
-    return {
+    d = {
         "events_window_rollup": """
             SELECT event_type,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
@@ -1234,3 +1236,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
     }
+    # boundary-carry operator variants produce bit-identical output to
+    # their whole-key twins — same oracle
+    d["events_sessionize_carry"] = d["events_sessionize"]
+    d["events_asof_carry"] = d["events_asof_purchase"]
+    return d

@@ -408,3 +408,24 @@ def test_comp_engine_csv_ingest_end_to_end(ray_session, tmp_path):
     assert (df["source"] == "comp-engine").all()
     assert df["length"].between(1, 512).all()
     assert np.isfinite(df["mean"]).all()
+
+
+def test_sessionize_carry_matches_per_user(ray_session):
+    """The boundary-carry sessionize (time-range partitions, carry-row
+    merge) must reproduce whole-user-per-task output exactly — including
+    with a 1-hour span that forces many cross-boundary session stitches."""
+    from ts_pymfe_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    base = q.q_events_sessionize(sf)
+    assert base.equals(q.q_events_sessionize_carry(sf))
+    assert base.equals(q.q_events_sessionize_carry(sf, span_hours=1))
+
+
+def test_asof_carry_matches_per_user(ray_session):
+    from ts_pymfe_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    base = q.q_events_asof_purchase(sf)
+    assert base.equals(q.q_events_asof_purchase_carry(sf))
+    assert base.equals(q.q_events_asof_purchase_carry(sf, span_hours=1))

@@ -571,8 +571,9 @@ def q_events_user_window_moments(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
 def q_events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """SESSION WINDOWS (the windowed-aggregate class Ray Data lacks):
     per user, a new session starts when the gap since the previous event
-    exceeds ``gap_minutes``.  Co-located per key via groupby; at scale the
-    same merge runs per (user, time-range) partition with boundary-carry.
+    exceeds ``gap_minutes``.  Co-located per key via groupby — the whole
+    user fits one task here; the SCALE form is q_events_sessionize_carry
+    (time-range partitions + boundary-carry merge, identical output).
     Output: per-user session counts, the largest session, events/session
     and mean session span."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
@@ -635,6 +636,232 @@ def q_events_asof_purchase(sf_dir: str) -> pd.DataFrame:
         )
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SPAN_HOURS = 24
+
+
+def _add_span_id(ds, span_us: int):
+    """Append ``span_id = ts_us // span_us`` (time-range partition key)."""
+    import pyarrow.compute as pc
+
+    def add(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        return batch.append_column("span_id", pc.divide(ts_us, span_us))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_sessionize_carry(sf_dir: str, gap_minutes: int = 30,
+                              span_hours: int = _SPAN_HOURS) -> pd.DataFrame:
+    """Boundary-carry SESSIONIZE — the scale form of q_events_sessionize:
+    no key ever needs to fit in one task.
+
+    1. partition by (user_id, span_id = ts // span) — group size is
+       bounded by the span width, not by the user's total history;
+    2. per span: close every interior session locally; emit ONE carry row
+       per (user, span) holding the first/last boundary sessions'
+       (count, first_ts, last_ts) plus interior aggregates;
+    3. per user over CARRY ROWS ONLY (tiny: one row per active span):
+       stitch boundary sessions across spans when the inter-span gap is
+       within ``gap_minutes``, exactly reproducing whole-history
+       semantics.
+
+    Output is identical to q_events_sessionize (asserted in
+    tests/test_pipeline.py::test_sessionize_carry_matches_per_user)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap_us = gap_minutes * 60 * 1_000_000
+    span_us = span_hours * 3600 * 1_000_000
+    ds = _add_span_id(ds, span_us)
+
+    def per_span(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        brk = np.concatenate([[True], np.diff(ts) > gap_us])
+        sid = np.cumsum(brk) - 1
+        n_s = int(sid[-1]) + 1
+        counts = np.bincount(sid)
+        bounds = np.concatenate([np.flatnonzero(brk), [ts.size]])
+        s_first = ts[bounds[:-1]]
+        s_last = ts[bounds[1:] - 1]
+        spans = s_last - s_first
+        interior = slice(1, n_s - 1)
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(df["user_id"].iloc[0])],
+                "span_id": [np.int64(df["span_id"].iloc[0])],
+                "n_events": [np.int64(ts.size)],
+                "f_cnt": [np.int64(counts[0])],
+                "f_first": [s_first[0]],
+                "f_last": [s_last[0]],
+                "l_cnt": [np.int64(counts[-1])],
+                "l_first": [s_first[-1]],
+                "l_last": [s_last[-1]],
+                "single": [n_s == 1],
+                "int_n": [np.int64(max(0, n_s - 2))],
+                "int_span_sum": [np.int64(spans[interior].sum() if n_s > 2 else 0)],
+                "int_max": [np.int64(counts[interior].max() if n_s > 2 else 0)],
+            }
+        )
+
+    def merge_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("span_id")
+        n_sess = 0
+        max_cnt = 0
+        span_sum = 0
+        open_cnt = open_first = open_last = None
+
+        def finalize():
+            nonlocal n_sess, max_cnt, span_sum
+            n_sess += 1
+            max_cnt = max(max_cnt, open_cnt)
+            span_sum += open_last - open_first
+
+        for row in df.itertuples(index=False):
+            if open_cnt is not None and row.f_first - open_last <= gap_us:
+                open_cnt += row.f_cnt  # boundary session continues
+                open_last = row.f_last
+            else:
+                if open_cnt is not None:
+                    finalize()
+                open_cnt, open_first, open_last = row.f_cnt, row.f_first, row.f_last
+            if not row.single:
+                finalize()  # >1 session in span: the first one closed in-span
+                n_sess += int(row.int_n)
+                span_sum += int(row.int_span_sum)
+                max_cnt = max(max_cnt, int(row.int_max))
+                open_cnt, open_first, open_last = row.l_cnt, row.l_first, row.l_last
+        finalize()
+        n_events = int(df["n_events"].sum())
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(df["user_id"].iloc[0])],
+                "n_events": [np.int64(n_events)],
+                "n_sessions": [np.int64(n_sess)],
+                "max_session_events": [np.int64(max_cnt)],
+                "avg_events_per_session": [round_ha(n_events / n_sess)],
+                "avg_session_sec": [round_ha(int(span_sum) / n_sess / 1_000_000.0)],
+            }
+        )
+
+    out = (
+        ds.groupby(["user_id", "span_id"])
+        .map_groups(per_span, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(merge_user, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_asof_purchase_carry(sf_dir: str,
+                                 span_hours: int = _SPAN_HOURS) -> pd.DataFrame:
+    """Boundary-carry AS-OF JOIN — the scale form of
+    q_events_asof_purchase: clicks resolve against in-span purchases
+    locally; only the UNRESOLVED clicks (no earlier purchase in their own
+    span) and one last-purchase carry row per span take the second,
+    per-user pass.  Resolved rows stream straight through — a user's full
+    history is never co-located.
+
+    Output is identical to q_events_asof_purchase (asserted in
+    tests/test_pipeline.py::test_asof_carry_matches_per_user)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    span_us = span_hours * 3600 * 1_000_000
+    ds = _add_span_id(ds, span_us)
+
+    # kind: 0 = resolved click, 1 = unresolved click, 2 = span purchase carry
+    def per_span(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ids = df["event_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        is_p = et == "purchase"
+        idx = np.arange(ts.size)
+        last_p = np.maximum.accumulate(np.where(is_p, idx, -1))
+        before = np.concatenate([[-1], last_p[:-1]])
+        click = np.flatnonzero(et == "click")
+        m = before[click]
+        has = m >= 0
+        out = {
+            "user_id": np.full(click.size, np.int64(df["user_id"].iloc[0])),
+            "span_id": np.full(click.size, np.int64(df["span_id"].iloc[0])),
+            "kind": np.where(has, 0, 1).astype(np.int64),
+            "event_id": ids[click].astype(np.int64),
+            "ts_us": ts[click],
+            "purchase_event_id": np.where(has, ids[np.maximum(m, 0)], -1).astype(np.int64),
+            "lag_us": np.where(has, ts[click] - ts[np.maximum(m, 0)], -1).astype(np.int64),
+        }
+        res = pd.DataFrame(out)
+        if is_p.any():
+            j = int(np.flatnonzero(is_p)[-1])  # last purchase row of the span
+            carry = pd.DataFrame(
+                {
+                    "user_id": [np.int64(df["user_id"].iloc[0])],
+                    "span_id": [np.int64(df["span_id"].iloc[0])],
+                    "kind": [np.int64(2)],
+                    "event_id": [np.int64(ids[j])],
+                    "ts_us": [np.int64(ts[j])],
+                    "purchase_event_id": [np.int64(-1)],
+                    "lag_us": [np.int64(-1)],
+                }
+            )
+            res = pd.concat([res, carry], ignore_index=True)
+        return res
+
+    parts = (
+        ds.groupby(["user_id", "span_id"])
+        .map_groups(per_span, batch_format="pandas")
+        .materialize()  # branched below; rows are already click-sized
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.equal(batch.column("kind"), 0))
+        return keep.select(["event_id", "purchase_event_id", "lag_us"])
+
+    resolved = parts.map_batches(project, batch_format="pyarrow")
+
+    def carries_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("kind"), 0))
+
+    def merge_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["span_id", "kind"])  # clicks of a span before its carry
+        last_id, last_ts = -1, -1
+        ev, pid, lag = [], [], []
+        cur_span = None
+        pend_id, pend_ts = -1, -1
+        for row in df.itertuples(index=False):
+            if cur_span != row.span_id:
+                # entering a new span: the previous span's carry activates
+                if pend_id != -1:
+                    last_id, last_ts = pend_id, pend_ts
+                    pend_id = -1
+                cur_span = row.span_id
+            if row.kind == 1:
+                ev.append(row.event_id)
+                pid.append(last_id)
+                lag.append(row.ts_us - last_ts if last_id != -1 else -1)
+            else:  # kind 2: becomes visible from the NEXT span on
+                pend_id, pend_ts = row.event_id, row.ts_us
+        return pd.DataFrame(
+            {
+                "event_id": np.array(ev, dtype=np.int64),
+                "purchase_event_id": np.array(pid, dtype=np.int64),
+                "lag_us": np.array(lag, dtype=np.int64),
+            }
+        )
+
+    fixed = (
+        parts.map_batches(carries_only, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(merge_user, batch_format="pandas")
+    )
+
+    out = resolved.union(fixed).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
