@@ -259,3 +259,28 @@ def test_batch_hashers_match_single_doc():
         assert fps[i] == t.rolling_fingerprint(txt)
         assert set(t._md5_shingles_batch(texts)[i].tolist()) == set(
             t._md5_shingles(txt).tolist())
+
+
+def test_bootstrap_golden(ray_session, seq_dir_small):
+    """The bootstrap CI path is DETERMINISTIC (per-(doc, rep) seeded
+    resampling), so its output is golden-asserted bitwise — the driver's
+    seq_bootstrap_ci rows-only entry rests on this assertion."""
+    import json
+    import os
+
+    from ts_pymfe_ray.pipelines.bootstrap import bootstrap_features
+
+    with open(os.path.join(os.path.dirname(__file__), "golden_bootstrap.json")) as f:
+        golden = json.load(f)
+    df = bootstrap_features(seq_dir_small, sample_num=4, max_docs=2000,
+                            groups=("general",), max_cost="cheap")
+    assert len(df) == golden["n_rows"]
+    assert list(df.columns) == golden["columns"]
+    for _, r in df.iterrows():
+        exp = golden["rows"][r["doc_id"]]
+        for c, want in exp.items():
+            got = float(r[c])
+            if want is None:
+                assert not np.isfinite(got), (r["doc_id"], c, got)
+            else:
+                assert got == want, (r["doc_id"], c, got, want)
