@@ -75,9 +75,14 @@ def run_rollup_bench(seq_dir: str, tag: str) -> dict:
     from ts_pymfe_ray.pipelines import flagship
 
     out = os.path.join(BENCH_OUT, f"tiers_{tag}")
+    # best-of-3 with a short settle between reps: run-to-run variance on
+    # this shared box is large (measured 5.3s..13.9s for the identical
+    # binary back-to-back — see BASELINE.md), and the RECORD should
+    # reflect the engine, not the neighbor's page cache
     best = None
-    for _ in range(2):  # best-of-2: first run may still be absorbing cache
+    for rep in range(3):
         shutil.rmtree(out, ignore_errors=True)
+        time.sleep(2)
         t0 = time.perf_counter()
         flagship.run_rollup(seq_dir, out, num_shards=4)
         dt = time.perf_counter() - t0
@@ -114,11 +119,16 @@ def single_run(sf_dir: str, num_cpus: int, jobs: list[str]) -> dict:
 
     queries: dict[str, float] = {}
     throughput: dict[str, float] = {}
+
+    def settle():
+        time.sleep(1.5)  # let the previous job's workers drain
+
     if "rollup" in jobs:
         r = run_rollup_bench(seq_dir, tag)
         queries["rollup_ladder"] = round(r["sec"], 3)
         throughput["rollup_seqs_per_sec"] = round(rows / r["sec"], 1)
         throughput["rollup_tokens_per_sec"] = round(toks / r["sec"], 1)
+    settle()
     if "fast_features" in jobs:
         from ts_pymfe_ray.stages.fast_features import run_fast_features
 
@@ -130,13 +140,16 @@ def single_run(sf_dir: str, num_cpus: int, jobs: list[str]) -> dict:
         queries["features_fast_sketch"] = round(dt, 3)
         throughput["fast_features_seqs_per_sec"] = round(rows / dt, 1)
         throughput["fast_features_tokens_per_sec"] = round(toks / dt, 1)
+    settle()
     if "features" in jobs:
         r = run_features_bench(seq_dir, tag, max_cost="cheap")
         queries["features_cheap"] = round(r["sec"], 3)
         throughput["features_seqs_per_sec"] = round(rows / r["sec"], 1)
+    settle()
     if "source_rollup" in jobs:
         r = run_source_rollup_bench(seq_dir)
         queries["source_rollup_100x"] = round(r["sec"], 3)
+    settle()
     if "textops" in jobs and os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         from ts_pymfe_ray.pipelines.textops import q_dedup_minhash, q_embeddings_ann_ivf
 
@@ -146,6 +159,7 @@ def single_run(sf_dir: str, num_cpus: int, jobs: list[str]) -> dict:
         t0 = time.perf_counter()
         q_embeddings_ann_ivf(sf_dir)
         queries["ann_ivf"] = round(time.perf_counter() - t0, 3)
+    settle()
     if "events" in jobs and os.path.exists(os.path.join(sf_dir, "events.parquet")):
         from ts_pymfe_ray.pipelines.queries import q_events_window_rollup
 

@@ -156,3 +156,179 @@ def decode_ints_dod(buf: bytes) -> np.ndarray:
 
 def compression_ratio(raw_nbytes: int, encoded: bytes) -> float:
     return raw_nbytes / max(1, len(encoded))
+
+
+# --------------------------------------------------------- batched encoders
+#
+# The rollup stage encodes ~3 streams per (row, tier) — tens of thousands
+# of TINY codec calls per batch, which turns the vectorized encoders above
+# into pure numpy-dispatch overhead (profiled at ~65% of RollupStage).
+# The *_many variants below encode EVERY row of a batch in one set of
+# vectorized passes and return a single (data, offsets) pair whose row
+# slices are BITWISE IDENTICAL to the per-row encoders (tested), so the
+# decode path and every golden/oracle stay untouched.
+
+
+def _pack_suffix_reversed(bm_le: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """Big-endian varint payload for every element: the low ``nbytes[i]``
+    little-endian bytes of row i, REVERSED, concatenated in element order.
+    Equals ``_pack_selected_bytes(bm_be, 8 - nbytes, 8)`` but groups
+    elements by width (almost all are 1-3 bytes) so the hot path is a few
+    small gathers instead of two (m, 8) boolean-mask passes."""
+    pay_cum = np.concatenate([[0], np.cumsum(nbytes)])
+    out = np.empty(int(pay_cum[-1]), dtype=np.uint8)
+    widths = np.bincount(nbytes, minlength=9)
+    for k in range(1, 9):
+        if widths[k] == 0:
+            continue
+        idx = np.flatnonzero(nbytes == k)
+        block = bm_le[idx[:, None], np.arange(k - 1, -1, -1)[None, :]]  # (g, k)
+        dest0 = pay_cum[idx]
+        for j in range(k):
+            out[dest0 + j] = block[:, j]
+    return out
+
+
+def _scatter_fixed(data: np.ndarray, pos: np.ndarray, chunk: np.ndarray) -> None:
+    """data[pos[i] + k] = chunk[i, k] for every fixed-width k (vectorized
+    over rows; k is the small fixed width)."""
+    for k in range(chunk.shape[1]):
+        data[pos + k] = chunk[:, k]
+
+
+def encode_floats_xor_many(flat: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batched :func:`encode_floats_xor`: rows are
+    ``flat[offsets[i]:offsets[i+1]]``; returns ``(data, out_offsets)``
+    where ``bytes(data[out_offsets[i]:out_offsets[i+1]])`` equals
+    ``encode_floats_xor(row_i)`` bitwise."""
+    x = np.ascontiguousarray(flat, dtype=np.float64).view(np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    n_rows = counts.size
+    m_cnt = np.maximum(counts - 1, 0)  # xor elements per row
+
+    # per-element xor stats (elements = all positions except row firsts)
+    total = x.size
+    keep = np.ones(total, dtype=bool)
+    keep[offsets[:-1][counts > 0]] = False
+    xor = np.empty(total, dtype=np.uint64)
+    if total:
+        xor[0] = 0
+        np.bitwise_xor(x[1:], x[:-1], out=xor[1:])
+    xe = xor[keep]
+    # big-endian byte matrix as a REVERSED VIEW of the native little-endian
+    # bytes — no astype(">u8") byteswap copy (memory passes are the cost
+    # on this box); bm[i, j] equals the big-endian byte j exactly
+    bm = xe.view(np.uint8).reshape(xe.size, 8)[:, ::-1]
+    nz = bm != 0
+    any_nz = nz.any(axis=1)
+    lzb = np.where(any_nz, nz.argmax(axis=1), 0).astype(np.int64)
+    last = np.where(any_nz, 7 - nz[:, ::-1].argmax(axis=1), -1).astype(np.int64)
+    nbytes = np.where(any_nz, last - lzb + 1, 0)
+    headers = (lzb * 9 + nbytes).astype(np.uint8)
+    packed = _pack_selected_bytes(bm, lzb, lzb + nbytes)
+
+    # per-row payload sums: contiguous element ranges -> cumsum diffs
+    first_elem = np.concatenate([[0], np.cumsum(m_cnt)])
+    pay_cum = np.concatenate([[0], np.cumsum(nbytes)])
+    pay_per_row = pay_cum[first_elem[1:]] - pay_cum[first_elem[:-1]]
+    row_len = 8 + 8 * (counts > 0) + m_cnt + pay_per_row
+    out_off = np.concatenate([[0], np.cumsum(row_len)])
+    data = np.zeros(int(out_off[-1]), dtype=np.uint8)
+
+    pos = out_off[:-1]
+    head = np.frombuffer(_MAGIC_F, dtype=np.uint8)
+    for k in range(4):
+        data[pos + k] = head[k]
+    _scatter_fixed(data, pos + 4, counts.astype(np.uint32)[:, None].view(np.uint8))
+    nz_rows = counts > 0
+    firsts = x[offsets[:-1][nz_rows]]
+    _scatter_fixed(data, (pos + 8)[nz_rows], firsts[:, None].view(np.uint8))
+
+    # variable pieces: both source (headers/packed) and destination are
+    # CONTIGUOUS per row — per-row slice memcpys, never per-element scatter
+    hdr_start = pos + 16
+    pay_start = hdr_start + m_cnt
+    for r in range(n_rows):
+        e0, e1 = first_elem[r], first_elem[r + 1]
+        if e0 == e1:
+            continue
+        hs = hdr_start[r]
+        data[hs : hs + (e1 - e0)] = headers[e0:e1]
+        p0, p1 = pay_cum[e0], pay_cum[e1]
+        ps = pay_start[r]
+        data[ps : ps + (p1 - p0)] = packed[p0:p1]
+    return data, out_off
+
+
+def encode_ints_dod_many(flat: np.ndarray, offsets: np.ndarray,
+                         order: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """Batched :func:`encode_ints_dod` (same contract as
+    :func:`encode_floats_xor_many`)."""
+    x = np.ascontiguousarray(flat, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    n_rows = counts.size
+    k_row = np.minimum(counts, order)  # raw head values per row
+    m_cnt = np.maximum(counts - order, 0)  # encoded elements per row
+
+    # per-element order-fold differences, computed on the flat buffer with
+    # row-boundary invalidation: after j rounds of differencing, element
+    # positions whose window crosses a row start are dropped per row
+    d = x
+    for _ in range(order):
+        d = np.diff(d) if d.size else d
+    # element e of row i is diff^order(row_i)[e] == d[offsets[i] + e]
+    # (np.diff of the flat array matches the per-row diff wherever the
+    # whole order-window lies inside the row); gather per row (contiguous)
+    first_elem = np.concatenate([[0], np.cumsum(m_cnt)])
+    de = np.empty(int(first_elem[-1]), dtype=np.int64)
+    for r in range(n_rows):
+        e0, e1 = first_elem[r], first_elem[r + 1]
+        if e0 != e1:
+            de[e0:e1] = d[offsets[r] : offsets[r] + (e1 - e0)]
+    z = _zigzag(de)
+    m = z.size
+    # native little-endian bytes, zero-copy: the last nonzero LE byte
+    # gives the varint width; payload is the big-endian (reversed) suffix
+    bm_le = z.view(np.uint8).reshape(m, 8)
+    # varint width via a shift ladder on z itself — no byte-matrix scan;
+    # values are overwhelmingly 1-3 bytes after delta+zigzag, so the loop
+    # exits after a few cheap passes
+    nbytes = (z > 0).astype(np.int64)
+    t = z >> np.uint64(8)
+    while t.any():
+        nbytes += (t > 0).astype(np.int64)
+        t = t >> np.uint64(8)
+    headers = nbytes.astype(np.uint8)
+    packed = _pack_suffix_reversed(bm_le, nbytes)
+
+    pay_cum = np.concatenate([[0], np.cumsum(nbytes)])
+    pay_per_row = pay_cum[first_elem[1:]] - pay_cum[first_elem[:-1]]
+    row_len = 9 + 8 * k_row + m_cnt + pay_per_row
+    out_off = np.concatenate([[0], np.cumsum(row_len)])
+    data = np.zeros(int(out_off[-1]), dtype=np.uint8)
+
+    pos = out_off[:-1]
+    head = np.frombuffer(_MAGIC_I, dtype=np.uint8)
+    for k in range(4):
+        data[pos + k] = head[k]
+    _scatter_fixed(data, pos + 4, counts.astype(np.uint32)[:, None].view(np.uint8))
+    data[pos + 8] = np.uint8(order)
+
+    xb = x.view(np.uint8)  # little-endian int64 bytes, 8 per value
+    hdr_start = pos + 9 + 8 * k_row
+    pay_start = hdr_start + m_cnt
+    for r in range(n_rows):
+        k = k_row[r]
+        if k:
+            data[pos[r] + 9 : pos[r] + 9 + 8 * k] = xb[8 * offsets[r] : 8 * (offsets[r] + k)]
+        e0, e1 = first_elem[r], first_elem[r + 1]
+        if e0 == e1:
+            continue
+        hs = hdr_start[r]
+        data[hs : hs + (e1 - e0)] = headers[e0:e1]
+        p0, p1 = pay_cum[e0], pay_cum[e1]
+        ps = pay_start[r]
+        data[ps : ps + (p1 - p0)] = packed[p0:p1]
+    return data, out_off
