@@ -35,7 +35,9 @@ def _find_crit_pt(arr: np.ndarray, type_: str) -> np.ndarray:
 def _discretize(ts: np.ndarray, num_bins: int = 10, strategy: str = "equal-width") -> np.ndarray:
     """Reference _utils.py:418-463."""
     if strategy == "equal-width":
-        bins = np.histogram(ts, num_bins)[1][:-1]
+        from ts_pymfe_ray.functions.stats import hist_edges
+
+        bins = hist_edges(ts, num_bins)[:-1]  # == np.histogram edges, no counting pass
     else:
         bins = np.quantile(ts, np.linspace(0, 1, num_bins + 1)[:-1])
     return np.digitize(ts, bins).astype(int)

@@ -79,7 +79,7 @@ def _hist10_entropy(c: SeriesCtx) -> float:
     by hist_entropy and hist_ent_out_diff's e_all term."""
     return c._get(
         "hist10_ent",
-        lambda: shannon_entropy(np.histogram(c.ts, bins=10, density=True)[0]) / np.log2(10),
+        lambda: shannon_entropy(_st.hist_density(c.ts, 10)) / np.log2(10),
     )
 
 
@@ -93,7 +93,7 @@ def _hist_ent_out_diff(c: SeriesCtx, num_bins: int = 10, pcut: float = 0.05) -> 
     lo, hi = np.quantile(c.ts, (pcut, 1 - pcut))
     inl = c.ts[(c.ts >= lo) & (c.ts <= hi)]
     e_all = _hist10_entropy(c)
-    e_in = shannon_entropy(np.histogram(inl, bins=num_bins, density=True)[0]) / np.log2(num_bins)
+    e_in = shannon_entropy(_st.hist_density(inl, num_bins)) / np.log2(num_bins)
     return e_all - e_in
 
 

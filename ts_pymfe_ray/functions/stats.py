@@ -176,3 +176,38 @@ def pacf_ols(ts: np.ndarray, nlags: int | None = None, adjusted: bool = True) ->
         if adjusted:
             out[k - 1] *= n / (n - k)
     return out
+
+
+def hist_edges(x: np.ndarray, nbins: int) -> np.ndarray:
+    """== np.histogram(x, nbins)[1] for finite x (uniform bins), without
+    paying for the counting pass."""
+    lo = float(np.min(x))
+    hi = float(np.max(x))
+    if lo == hi:
+        lo -= 0.5
+        hi += 0.5
+    return np.linspace(lo, hi, nbins + 1)
+
+
+def hist_counts(x: np.ndarray, nbins: int) -> tuple[np.ndarray, np.ndarray]:
+    """(counts, edges) == np.histogram(x, nbins) bitwise, via the same
+    uniform-bin index arithmetic numpy uses (scaled index + edge
+    correction) but without np.histogram's per-call machinery — the
+    cheap-pack entropy kernels call this hundreds of times per batch."""
+    edges = hist_edges(x, nbins)
+    first, last = edges[0], edges[-1]
+    norm = nbins / (last - first)
+    idx = ((x - first) * norm).astype(np.intp)
+    idx[idx == nbins] -= 1
+    dec = x < edges[idx]
+    idx[dec] -= 1
+    inc = (x >= edges[idx + 1]) & (idx != nbins - 1)
+    idx[inc] += 1
+    return np.bincount(idx, minlength=nbins), edges
+
+
+def hist_density(x: np.ndarray, nbins: int) -> np.ndarray:
+    """== np.histogram(x, nbins, density=True)[0] bitwise."""
+    counts, edges = hist_counts(x, nbins)
+    db = np.diff(edges)
+    return counts / db / counts.sum()
