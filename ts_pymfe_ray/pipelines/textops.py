@@ -215,9 +215,60 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return len(sa & sb) / u if u else 0.0
 
 
+class _MinhashVerify:
+    """Actor-pool verify stage for MinHash candidate pairs: per batch,
+    re-reads just the candidate doc_ids' texts (parquet point read),
+    recomputes their signatures (deterministic), and emits pairs whose
+    signature-agreement estimate clears the threshold.  Signatures never
+    enter the shuffle — round 2 shipped the 512-byte signature into all
+    16 band rows per doc."""
+
+    def __init__(self, path: str, threshold: float):
+        self.path = path
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        need = np.unique(np.concatenate([a, b]))
+        tbl = pq.read_table(self.path, columns=["doc_id", "text"],
+                            filters=[("doc_id", "in", [int(v) for v in need])])
+        ids = tbl.column("doc_id").to_numpy()
+        sigs = minhash_signatures_batch(
+            _md5_shingles_batch(tbl.column("text").to_pylist()))
+        lookup = {int(d): sigs[i] for i, d in enumerate(ids)}
+        A = np.stack([lookup[int(x)] for x in a])
+        B = np.stack([lookup[int(x)] for x in b])
+        est = (A == B).mean(axis=1)
+        keep = est >= self.threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep].astype(np.int64), pa.int64()),
+                "doc_b": pa.array(b[keep].astype(np.int64), pa.int64()),
+                "est_jaccard": pa.array(round_ha(est[keep]), pa.float64()),
+            }
+        )
+
+
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     """MinHash+LSH near-duplicate pairs: shingle -> minhash -> band ->
-    bucket groupby -> verified n-gram Jaccard >= threshold."""
+    (band_key, doc_id) groupby -> candidate pairs -> distributed pair
+    dedup -> signature-recompute verify with point-read gather.
+
+    Scale shape: only (band_key:u64, doc_id:i64) rows cross the
+    all-to-all shuffle; the verify stage recomputes signatures for
+    exactly the doc_ids its candidate batch touches (candidates are a
+    vanishing fraction of the corpus at a sane band/row config)."""
+    from ray.data.aggregate import Count
+
+    path = os.path.join(sf_dir, "documents.parquet")
     ds = _read_docs(sf_dir)
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -226,51 +277,35 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         # md5 base hashes: the SQL twin computes the identical signatures
         sigs = minhash_signatures_batch(_md5_shingles_batch(texts))
         keys = band_keys_batch(sigs)
-        sig_bytes = [s.tobytes() for s in sigs]
         return pa.table(
             {
                 "band_key": pa.array(keys.ravel(), pa.uint64()),
                 "doc_id": pa.array(np.repeat(ids, BANDS), pa.int64()),
-                "sig": pa.array(
-                    [sig_bytes[i] for i in range(len(texts)) for _ in range(BANDS)],
-                    pa.binary(),
-                ),
             }
         )
 
-    def candidates(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        sigs = group.column("sig").to_pylist()
-        out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
-        if len(ids) > 1:
-            uniq: dict[int, bytes] = {}
-            for i, s in zip(ids, sigs):
-                uniq[i] = s
-            items = sorted(uniq.items())
-            for i in range(len(items)):
-                for j in range(i + 1, len(items)):
-                    sa = np.frombuffer(items[i][1], dtype=np.uint64)
-                    sb = np.frombuffer(items[j][1], dtype=np.uint64)
-                    est = float((sa == sb).mean())
-                    if est >= threshold:
-                        out["doc_a"].append(items[i][0])
-                        out["doc_b"].append(items[j][0])
-                        out["est_jaccard"].append(round_ha(est))
-        return pa.table(
-            {
-                "doc_a": pa.array(out["doc_a"], pa.int64()),
-                "doc_b": pa.array(out["doc_b"], pa.int64()),
-                "est_jaccard": pa.array(out["est_jaccard"], pa.float64()),
-            }
-        )
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy())
+        if ids.size < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pa.table({"doc_a": pa.array(ids[ii], pa.int64()),
+                         "doc_b": pa.array(ids[jj], pa.int64())})
 
     pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby("band_key")
-        .map_groups(candidates, batch_format="pyarrow")
+        .map_groups(cand_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count())  # distributed pair dedup across bands
+        .drop_columns(["count()"])
+        .map_batches(_MinhashVerify, fn_constructor_args=(path, threshold),
+                     concurrency=(1, 4), batch_format="pyarrow")
         .to_pandas()
     )
-    pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    if len(pairs):
+        pairs = pairs.sort_values(["doc_a", "doc_b"])
     return pairs.reset_index(drop=True)
 
 
