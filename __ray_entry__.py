@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_source_rollup": _q_seq_source_rollup,
         "seq_source_rollup_nogap": _q_seq_source_rollup_nogap,
         "dedup_minhash": t.q_dedup_minhash,
+        "dedup_clusters": t.q_dedup_clusters,
         "dedup_simhash": t.q_dedup_simhash,
         "dedup_ngram_jaccard": t.q_dedup_ngram_jaccard,
         # planted near-dups (driver data's max pair cosine is 0.51 — the
@@ -1240,4 +1241,29 @@ def oracle_sql() -> dict[str, str]:
     # their whole-key twins — same oracle
     d["events_sessionize_carry"] = d["events_sessionize"]
     d["events_asof_carry"] = d["events_asof_purchase"]
+    # connected components over the (oracled) MinHash pair graph via a
+    # recursive transitive closure; representative = component minimum
+    d["dedup_clusters"] = f"""
+            WITH RECURSIVE pairs AS ({_dedup_minhash_sql()}),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            ),
+            rep AS (
+                SELECT a AS node, LEAST(a, MIN(b)) AS root
+                FROM reach GROUP BY a
+            )
+            SELECT root AS cluster_id,
+                   COUNT(*) AS n_docs,
+                   MAX(node) AS max_doc_id
+            FROM rep
+            GROUP BY root
+            ORDER BY cluster_id
+        """
     return d

@@ -284,3 +284,31 @@ def test_bootstrap_golden(ray_session, seq_dir_small):
                 assert not np.isfinite(got), (r["doc_id"], c, got)
             else:
                 assert got == want, (r["doc_id"], c, got, want)
+
+
+def test_dedup_clusters_union_find(ray_session):
+    """Cluster materialization: components of the minhash pair graph,
+    representative = min doc_id, verified against a fresh traversal."""
+    pairs = t.q_dedup_minhash(SF)
+    out = t.q_dedup_clusters(SF)
+    # independent reachability check
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        adj[int(a)].add(int(b)); adj[int(b)].add(int(a))
+    seen, comps = set(), []
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        stack, members = [start], set()
+        while stack:
+            u = stack.pop()
+            if u in members:
+                continue
+            members.add(u)
+            stack.extend(adj[u] - members)
+        seen |= members
+        comps.append(members)
+    exp = sorted((min(m), len(m), max(m)) for m in comps)
+    got = list(zip(out["cluster_id"], out["n_docs"], out["max_doc_id"]))
+    assert [tuple(map(int, g)) for g in got] == exp

@@ -601,6 +601,45 @@ def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95,
     return pairs.reset_index(drop=True)
 
 
+def q_dedup_clusters(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """Near-duplicate CLUSTER materialization — the step after pair
+    generation in a production dedup: connected components over the
+    MinHash pair graph, representative = smallest doc_id (keep-first).
+
+    The pair graph is the distributed q_dedup_minhash output; components
+    are resolved with union-find on the driver, which is the correct
+    scale shape because the pair set is the (tiny) operator OUTPUT, not
+    the corpus — at 10^9 docs the pair list is what a dedup job ships to
+    its final reducer anyway.  Output: one row per multi-doc cluster
+    (cluster_id = representative, n_docs, max_doc_id)."""
+    pairs = q_dedup_minhash(sf_dir, threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    rows = sorted(
+        (min(members), len(members), max(members)) for members in comp.values()
+    )
+    return pd.DataFrame(
+        {
+            "cluster_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_docs": pd.Series([r[1] for r in rows], dtype="int64"),
+            "max_doc_id": pd.Series([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
 # ------------------------------------------------------------- text analysis
 
 from ts_pymfe_ray.functions.langprofiles import (
