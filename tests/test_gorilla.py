@@ -51,3 +51,36 @@ def test_compression_on_regular_timestamps():
     enc = g.encode_ints_dod(ts, order=2)
     assert len(enc) < ts.size * 1.2  # ~1 byte/point on constant stride
     assert np.array_equal(g.decode_ints_dod(enc), ts)
+
+
+def test_batched_encoders_bitwise_equal_per_row():
+    """encode_*_many must produce byte-identical per-row streams to the
+    per-row encoders for every padding/width regime (empty rows, single
+    values, constants, wide varints) — the tier format and the
+    seq_tier_diagnostics oracle ride on this."""
+    import numpy as np
+
+    from ts_pymfe_ray.functions import gorilla as g
+
+    rng = np.random.default_rng(5)
+    frows = [rng.normal(size=k) for k in (0, 1, 2, 3, 27, 250)] + [
+        np.full(9, -2.5), np.zeros(4)]
+    ff = np.concatenate(frows)
+    fo = np.concatenate([[0], np.cumsum([len(r) for r in frows])])
+    fd, foo = g.encode_floats_xor_many(ff, fo)
+    for i, r in enumerate(frows):
+        got = bytes(fd[foo[i]:foo[i + 1]])
+        assert got == g.encode_floats_xor(r), ("float", i)
+        assert np.array_equal(g.decode_floats_xor(got), r)
+
+    irows = [rng.integers(-5, 70000, k).astype(np.int64)
+             for k in (0, 1, 2, 3, 500)] + [
+        np.arange(40) * 7 + 3, rng.integers(0, 2**60, 30).astype(np.int64)]
+    iflat = np.concatenate(irows)
+    io = np.concatenate([[0], np.cumsum([len(r) for r in irows])])
+    for order in (1, 2):
+        idd, ioo = g.encode_ints_dod_many(iflat, io, order=order)
+        for i, r in enumerate(irows):
+            got = bytes(idd[ioo[i]:ioo[i + 1]])
+            assert got == g.encode_ints_dod(r, order=order), (order, i)
+            assert np.array_equal(g.decode_ints_dod(got), r)
