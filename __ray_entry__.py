@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_fast_features": _q_seq_fast_features,
         "seq_fast_features_nogap": _q_seq_fast_features_nogap,
         "seq_token_histogram": _q_seq_token_histogram,
+        "seq_kernel_affine": _q_seq_kernel_affine,
     }
 
 
@@ -489,6 +490,64 @@ def _q_seq_bootstrap_ci(sf_dir: str):
     seq_dir = ensure_sequences_for_dir(sf_dir)
     return bootstrap_features(seq_dir, sample_num=8, max_docs=64,
                               groups=("general",), max_cost="cheap")
+
+
+
+
+def _q_seq_kernel_affine(sf_dir: str):
+    """SQL-ORACLED twin of two real FEATURE KERNELS end-to-end: the
+    turning_points array mean and frac_cp are AFFINE-INVARIANT, so the
+    values the registry kernels compute on the standardized series equal
+    what integer-domain SQL computes on the raw tokens (strict/equal
+    comparisons survive the (x-mu)/sd map; products of token diffs are
+    exact below 2^53).  Gap-free docs only (interpolated fill is float),
+    last-512 analysis cap mirrored in the SQL slice."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ts_pymfe_ray.features  # noqa: F401
+    from ts_pymfe_ray.functions.rounding import round_ha
+    from ts_pymfe_ray.pipelines.flagship import _filter_gapfree
+    from ts_pymfe_ray.registry import REGISTRY, evaluate_row
+    from ts_pymfe_ray.sources.sequences import read_sequences
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    ds = read_sequences(seq_dir)
+    ds = ds.map_batches(_filter_gapfree, batch_format="pyarrow", zero_copy_batch=True)
+    kernels = [REGISTRY["turning_points"], REGISTRY["frac_cp"]]
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        from ts_pymfe_ray.stages.rollup import tokens_views
+
+        views, _, _ = tokens_views(batch)
+        doc_ids = batch.column("doc_id").to_pylist()
+        sources = batch.column("source").to_pylist()
+        tp, fc = [], []
+        for i, tok in enumerate(views):
+            vals = evaluate_row(tok.astype(np.float64), doc_ids[i], kernels)
+            tp.append(vals["turning_points.mean"])
+            fc.append(vals["frac_cp"])
+        df = pd.DataFrame({"source": sources, "tp": tp, "fc": fc})
+        g = df.groupby("source").agg(
+            n=("tp", "size"), tp_sum=("tp", "sum"), fc_sum=("fc", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("source").agg(
+        n=("n", "sum"), tp_sum=("tp_sum", "sum"), fc_sum=("fc_sum", "sum")
+    ).reset_index()
+    out = pd.DataFrame(
+        {
+            "source": g["source"],
+            "n_docs": g["n"].astype("int64"),
+            "avg_turning_frac": round_ha((g["tp_sum"] / g["n"]).to_numpy()),
+            "avg_cp_frac": round_ha((g["fc_sum"] / g["n"]).to_numpy()),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1239,6 +1298,34 @@ def oracle_sql() -> dict[str, str]:
     }
     # boundary-carry operator variants produce bit-identical output to
     # their whole-key twins — same oracle
+    d["seq_kernel_affine"] = f"""
+            WITH docs AS (
+                SELECT source,
+                       tokens[greatest(1, len(tokens) - 511):] AS tk
+                FROM read_parquet('{_SEQ_GLOB}')
+                WHERE len(list_filter(tokens, x -> x = -1)) = 0
+            ), per AS (
+                SELECT source,
+                       len(tk) AS n,
+                       list_aggregate(tk, 'median') AS med,
+                       len(list_filter(generate_series(2, len(tk) - 1),
+                           i -> (CAST(tk[i] AS BIGINT) - tk[i-1])
+                                * (CAST(tk[i+1] AS BIGINT) - tk[i]) < 0))
+                           * 1.0 / len(tk) AS tp_mean,
+                       len(list_filter(generate_series(2, len(tk)),
+                           i -> (tk[i] <= list_aggregate(tk, 'median'))
+                                != (tk[i-1] <= list_aggregate(tk, 'median'))))
+                           * 1.0 / (len(tk) - 1) AS cp
+                FROM docs
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   ROUND(SUM(tp_mean) / COUNT(*), 6) AS avg_turning_frac,
+                   ROUND(SUM(cp) / COUNT(*), 6) AS avg_cp_frac
+            FROM per
+            GROUP BY source
+            ORDER BY source
+        """
     d["events_sessionize_carry"] = d["events_sessionize"]
     d["events_asof_carry"] = d["events_asof_purchase"]
     # connected components over the (oracled) MinHash pair graph via a
