@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_keep_first": q.q_dedup_exact_keep_first,
         "embeddings_knn": q.q_embeddings_knn,
         "text_quality": t.q_text_quality,
+        "quality_filter": t.q_quality_filter,
         "events_daily_extremes": q.q_events_daily_extremes,
         "customers_per_region": q.q_customers_per_region,
         "orders_monthly": q.q_orders_monthly,
@@ -1298,6 +1299,32 @@ def oracle_sql() -> dict[str, str]:
     }
     # boundary-carry operator variants produce bit-identical output to
     # their whole-key twins — same oracle
+    d["quality_filter"] = f"""
+            WITH q AS (
+                SELECT source, doc_id,
+                       len(string_split(text, ' ')) AS nw,
+                       len(list_filter(string_split(text, ' '),
+                                       w -> w IN ({_STOP_SQL}))) AS n_stop,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+            ), k AS (
+                SELECT *,
+                       (nw BETWEEN 30 AND 5000
+                        AND n_stop * 100 >= nw * 10
+                        AND n_punct * 100 <= n_chars * 5) AS keep
+                FROM q
+            )
+            SELECT source,
+                   COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(COALESCE(SUM(CASE WHEN keep THEN nw END), -1) AS BIGINT) AS kept_words,
+                   CAST(COALESCE(MIN(CASE WHEN keep THEN doc_id END), -1) AS BIGINT) AS min_kept,
+                   CAST(COALESCE(MAX(CASE WHEN keep THEN doc_id END), -1) AS BIGINT) AS max_kept
+            FROM k
+            GROUP BY source
+            ORDER BY source
+        """
     d["seq_kernel_affine"] = f"""
             WITH docs AS (
                 SELECT source,

@@ -736,6 +736,62 @@ def q_text_quality_full(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_quality_filter(sf_dir: str, min_words: int = 30, max_words: int = 5000,
+                     min_stop_pct: int = 10, max_punct_pct: int = 5) -> pd.DataFrame:
+    """QUALITY FILTERING as a materialization step — the keep/drop gate a
+    training-data pipeline runs before tokenization.  A doc is kept iff
+    word count is in [min_words, max_words], stopword ratio >=
+    min_stop_pct% and punctuation ratio <= max_punct_pct%.  All rules are
+    INTEGER comparisons (n_stop*100 >= n_words*pct etc.) so the SQL twin
+    is exact with no float knife edges.  Output: per-source keep/drop
+    counts, kept doc_id range and kept token volume (what the downstream
+    job would read)."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        keep = np.zeros(n, dtype=bool)
+        n_words = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = t.split(" ")
+            nw = len(words)
+            n_words[i] = nw
+            nstop = sum(w in _STOPWORDS for w in words)
+            npunct = sum(ch in ".,;:!?" for ch in t)
+            keep[i] = (
+                min_words <= nw <= max_words
+                and nstop * 100 >= nw * min_stop_pct
+                and npunct * 100 <= len(t) * max_punct_pct
+            )
+        df = pd.DataFrame({"source": src, "keep": keep, "nw": n_words,
+                           "doc_id": ids.astype(np.int64)})
+        g = df.groupby("source").agg(
+            n_total=("keep", "size"), n_kept=("keep", "sum")
+        ).reset_index()
+        kept = df[df["keep"]]
+        gk = kept.groupby("source").agg(
+            kw=("nw", "sum"), mn=("doc_id", "min"), mx=("doc_id", "max")
+        ).reset_index()
+        g = g.merge(gk, on="source", how="left")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("source").agg(
+        n_total=("n_total", "sum"), n_kept=("n_kept", "sum"),
+        kept_words=("kw", "sum"), min_kept=("mn", "min"), max_kept=("mx", "max"),
+    ).reset_index()
+    for c in ("n_total", "n_kept", "kept_words", "min_kept", "max_kept"):
+        g[c] = g[c].fillna(-1).astype("int64")
+    # pandas sums of all-NaN partials give 0, not NaN: normalize the
+    # nothing-kept case to the twin's -1 sentinels
+    none = g["n_kept"] == 0
+    g.loc[none, ["kept_words", "min_kept", "max_kept"]] = -1
+    return g.sort_values("source").reset_index(drop=True)
+
+
 def detect_lang(text: str) -> str:
     """Multi-profile stopword language-ID heuristic (en/es/de/fr via
     stopword-hit ratios, zh via CJK codepoint ratio, else unknown).
