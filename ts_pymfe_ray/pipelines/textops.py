@@ -216,7 +216,8 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 class _MinhashVerify:
-    """Actor-pool verify stage for MinHash candidate pairs: per batch,
+    """Verify stage for MinHash candidate pairs (stateless callable,
+    shipped as a plain task — no actor-pool spin-up cost): per batch,
     re-reads just the candidate doc_ids' texts (parquet point read),
     recomputes their signatures (deterministic), and emits pairs whose
     signature-agreement estimate clears the threshold.  Signatures never
@@ -300,8 +301,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count())  # distributed pair dedup across bands
         .drop_columns(["count()"])
-        .map_batches(_MinhashVerify, fn_constructor_args=(path, threshold),
-                     concurrency=(1, 4), batch_format="pyarrow")
+        .map_batches(_MinhashVerify(path, threshold), batch_format="pyarrow")
         .to_pandas()
     )
     if len(pairs):
@@ -463,7 +463,8 @@ def _planted_vector(base: np.ndarray, base_id: int) -> np.ndarray:
 
 
 class _GatherVerifyCosine:
-    """Actor-pool verify stage for candidate pairs: per batch, gather the
+    """Verify stage for candidate pairs (stateless callable, shipped as a
+    plain task): per batch, gather the
     needed vectors with a vec_id-filtered parquet point read (row-group
     stats pruning — the corpus never re-enters the shuffle) and compute
     exact cosines.  Planted ids (>= _PLANT_OFFSET) are reconstructed
@@ -592,8 +593,7 @@ def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95,
         .groupby(["vec_a", "vec_b"])
         .aggregate(Count())  # distributed pair dedup across buckets
         .drop_columns(["count()"])
-        .map_batches(_GatherVerifyCosine, fn_constructor_args=(path, threshold),
-                     concurrency=(1, 4), batch_format="pyarrow")
+        .map_batches(_GatherVerifyCosine(path, threshold), batch_format="pyarrow")
         .to_pandas()
     )
     if len(pairs):
