@@ -34,7 +34,7 @@ def _ensure_ray(num_cpus: int | None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ts_pymfe_ray")
-    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention", "fast-features", "ingest-csv"])
+    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention", "fast-features", "ingest-csv", "text"])
     ap.add_argument("--input", help="sequences parquet dir")
     ap.add_argument("--output", help="output dir (rollup/features)")
     ap.add_argument("--num-shards", type=int, default=8)
@@ -44,8 +44,17 @@ def main(argv=None):
     ap.add_argument("--max-cost", default="medium", choices=["cheap", "medium", "heavy"])
     ap.add_argument("--sf", type=float, default=None, help="synth: scale factor")
     ap.add_argument("--drop-tiers", default="raw", help="retention: comma-separated tiers to age out")
+    ap.add_argument("--op", default="quality",
+                    choices=["quality", "quality-filter", "dedup-exact",
+                             "dedup-minhash", "dedup-simhash", "dedup-clusters",
+                             "lang-id", "fingerprints"],
+                    help="text: which document operator to run")
+    ap.add_argument("--sf-dir", default=None,
+                    help="text: directory holding documents.parquet")
     args = ap.parse_args(argv)
 
+    if args.job == "text" and not args.sf_dir:
+        ap.error("--sf-dir is required for job 'text'")
     if args.job == "retention" and not args.output:
         ap.error("--output (the tier dir) is required for retention")
     if args.job in ("rollup", "features", "source-rollup", "bootstrap", "fast-features", "ingest-csv") and not args.input:
@@ -98,6 +107,24 @@ def main(argv=None):
 
         out = ingest_comp_engine_csv(args.input, args.output)
         print(json.dumps({"sequences": out}))
+    elif args.job == "text":
+        from ts_pymfe_ray.pipelines import queries as q
+        from ts_pymfe_ray.pipelines import textops as t
+
+        op = {
+            "quality": t.q_text_quality_full,
+            "quality-filter": t.q_quality_filter,
+            "dedup-exact": q.q_dedup_exact_keep_first,
+            "dedup-minhash": t.q_dedup_minhash,
+            "dedup-simhash": t.q_dedup_simhash,
+            "dedup-clusters": t.q_dedup_clusters,
+            "lang-id": t.q_lang_id,
+            "fingerprints": t.q_doc_fingerprints,
+        }[args.op]
+        df = op(args.sf_dir)
+        if args.output:
+            df.to_parquet(args.output)
+        print(json.dumps({"op": args.op, "rows": len(df)}))
     elif args.job == "bootstrap":
         from ts_pymfe_ray.pipelines.bootstrap import bootstrap_features
 
