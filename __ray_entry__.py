@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn": q.q_embeddings_knn,
         "text_quality": t.q_text_quality,
         "quality_filter": t.q_quality_filter,
+        "bpe_token_count": t.q_bpe_token_count,
         "events_daily_extremes": q.q_events_daily_extremes,
         "customers_per_region": q.q_customers_per_region,
         "orders_monthly": q.q_orders_monthly,
@@ -1299,6 +1300,18 @@ def oracle_sql() -> dict[str, str]:
     }
     # boundary-carry operator variants produce bit-identical output to
     # their whole-key twins — same oracle
+    from ts_pymfe_ray.pipelines.textops import BPE_SPLIT_PATTERN
+
+    d["bpe_token_count"] = f"""
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '{BPE_SPLIT_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """
     d["quality_filter"] = f"""
             WITH q AS (
                 SELECT source, doc_id,

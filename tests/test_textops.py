@@ -312,3 +312,18 @@ def test_dedup_clusters_union_find(ray_session):
     exp = sorted((min(m), len(m), max(m)) for m in comps)
     got = list(zip(out["cluster_id"], out["n_docs"], out["max_doc_id"]))
     assert [tuple(map(int, g)) for g in got] == exp
+
+
+def test_bpe_pattern_re2_parity():
+    """The BPE-ish pre-tokenizer must count identically under Python re
+    and DuckDB's RE2 (the oracle twin runs the same pattern verbatim)."""
+    import duckdb
+
+    con = duckdb.connect()
+    samples = ["hello world, it's 2026!", "  doubled  spaces ", "", "三个 字 words42",
+               "a1b2c3 --- x_y.z", "tab\tand\nnewline chars"]
+    for s in samples:
+        py = t.bpe_token_count(s)
+        sql = con.execute("SELECT len(regexp_extract_all(?, ?))",
+                          [s, t.BPE_SPLIT_PATTERN]).fetchone()[0]
+        assert py == sql, (s, py, sql)

@@ -736,6 +736,54 @@ def q_text_quality_full(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+# BPE-ish subword pre-tokenization pattern (GPT-2-style word/number/
+# punctuation splits, restricted to RE2-compatible syntax — no lookahead —
+# so the DuckDB twin runs the IDENTICAL pattern; leftmost-first alternation
+# semantics agree between Python re and RE2, parity-checked in tests)
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+_BPE_RX = None
+
+
+def bpe_token_count(text: str) -> int:
+    global _BPE_RX
+    if _BPE_RX is None:
+        import re
+
+        _BPE_RX = re.compile(BPE_SPLIT_PATTERN)
+    n = 0
+    for _ in _BPE_RX.finditer(text):
+        n += 1
+    return n
+
+
+def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    """Subword token counting with a BPE-ish pre-tokenizer regex (the cost
+    estimate every training-data pipeline runs before tokenizing): per
+    source, docs / subword tokens / whitespace words — all integer-exact
+    against the DuckDB twin running the same RE2 pattern."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        bpe = np.fromiter((bpe_token_count(t) for t in texts), dtype=np.int64,
+                          count=len(texts))
+        words = np.fromiter((t.count(" ") + 1 for t in texts), dtype=np.int64,
+                            count=len(texts))
+        df = pd.DataFrame({"source": src, "bpe": bpe, "w": words})
+        g = df.groupby("source").agg(n_docs=("bpe", "size"), bpe_tokens=("bpe", "sum"),
+                                     words=("w", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("source").agg(
+        n_docs=("n_docs", "sum"), bpe_tokens=("bpe_tokens", "sum"), words=("words", "sum")
+    ).reset_index()
+    for c in ("n_docs", "bpe_tokens", "words"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("source").reset_index(drop=True)
+
+
 def q_quality_filter(sf_dir: str, min_words: int = 30, max_words: int = 5000,
                      min_stop_pct: int = 10, max_punct_pct: int = 5) -> pd.DataFrame:
     """QUALITY FILTERING as a materialization step — the keep/drop gate a
