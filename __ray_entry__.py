@@ -359,6 +359,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # operator needs >=0.95 pairs to prove anything)
         "embeddings_neardup": lambda sf_dir: t.q_embeddings_neardup(sf_dir, plant=8),
         "embeddings_ann_ivf": t.q_embeddings_ann_ivf,
+        # full-probe config: scanning every cell makes IVF exactly
+        # brute-force, so the approximate operator's machinery (layout
+        # build, partition pruning, partial top-k) gets a hash-exact
+        # oracle — the same twin as embeddings_knn
+        "embeddings_ann_ivf_full": _q_ann_ivf_full,
         "lang_id": t.q_lang_id,
         "multimodal_decode": q_multimodal_decode,
         "seq_bootstrap_ci": _q_seq_bootstrap_ci,
@@ -550,6 +555,15 @@ def _q_seq_kernel_affine(sf_dir: str):
         }
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def _q_ann_ivf_full(sf_dir: str):
+    """IVF ANN with n_probe == n_cells: equals brute-force top-k, so the
+    embeddings_knn SQL twin oracles the whole IVF path end-to-end."""
+    from ts_pymfe_ray.pipelines.textops import q_embeddings_ann_ivf
+
+    return q_embeddings_ann_ivf(sf_dir, k=5, query_vec_id=0, n_cells=16,
+                                n_probe=16)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1366,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             ORDER BY source
         """
+    d["embeddings_ann_ivf_full"] = d["embeddings_knn"]
     d["events_sessionize_carry"] = d["events_sessionize"]
     d["events_asof_carry"] = d["events_asof_purchase"]
     # connected components over the (oracled) MinHash pair graph via a
