@@ -94,10 +94,15 @@ def run_features_bench(seq_dir: str, tag: str, max_cost: str = "cheap") -> dict:
     from ts_pymfe_ray.pipelines import flagship
 
     out = os.path.join(BENCH_OUT, f"features_{tag}_{max_cost}")
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.perf_counter()
-    flagship.run_features(seq_dir, out, max_cost=max_cost, num_shards=8, batch_size=256)
-    return {"sec": time.perf_counter() - t0, "out": out}
+    best = None
+    for _ in range(2):  # best-of-2 (same variance discipline as rollup)
+        shutil.rmtree(out, ignore_errors=True)
+        time.sleep(2)
+        t0 = time.perf_counter()
+        flagship.run_features(seq_dir, out, max_cost=max_cost, num_shards=8, batch_size=256)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {"sec": best, "out": out}
 
 
 def run_source_rollup_bench(seq_dir: str) -> dict:
