@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.q_dedup_exact,
         "dedup_exact_keep_first": q.q_dedup_exact_keep_first,
         "embeddings_knn": q.q_embeddings_knn,
+        "embeddings_knn_multi": q.q_embeddings_knn_multi,
         "text_quality": t.q_text_quality,
         "quality_filter": t.q_quality_filter,
         "bpe_token_count": t.q_bpe_token_count,
@@ -1379,6 +1380,25 @@ def oracle_sql() -> dict[str, str]:
             FROM per
             GROUP BY source
             ORDER BY source
+        """
+    d["embeddings_knn_multi"] = """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 4
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       -- 4dp: list_cosine_similarity accumulates in FLOAT32
+                       ROUND(CAST(list_cosine_similarity(e.embedding, q.qe)
+                                  AS DOUBLE), 4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                                        DESC, e.vec_id) AS rn
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, cosine
+            FROM scored WHERE rn <= 3
+            ORDER BY query_id, cosine DESC, vec_id
         """
     d["embeddings_ann_ivf_full"] = d["embeddings_knn"]
     d["events_sessionize_carry"] = d["events_sessionize"]

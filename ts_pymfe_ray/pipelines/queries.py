@@ -298,6 +298,59 @@ def q_embeddings_knn(sf_dir: str, k: int = 5, query_vec_id: int = 0) -> pd.DataF
     return out.reset_index(drop=True)
 
 
+def q_embeddings_knn_multi(sf_dir: str, k: int = 3,
+                           n_queries: int = 4) -> pd.DataFrame:
+    """Brute-force cosine top-k for a BATCH of queries — one broadcast
+    (n_queries, dim) query matrix, one matmul per corpus batch, partial
+    per-query top-k, tiny final merge.  At scale the query matrix ships
+    once via the task closure (ray.put semantics) while the corpus
+    streams; cost is one GEMM per batch instead of n_queries scans."""
+    import pyarrow.compute as pc
+
+    qtbl = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < n_queries,
+    ).to_pandas().sort_values("vec_id")
+    Q = np.asarray(qtbl["embedding"].to_list(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1)[:, None]
+    qids = qtbl["vec_id"].to_numpy()
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        # same float association as the hash-proven single-query path:
+        # dot against the normalized query, then divide by the row norm
+        sims = (mat @ Qn.T) / norms[:, None]  # (batch, n_queries)
+        out_q, out_v, out_c = [], [], []
+        for j in range(Qn.shape[0]):
+            top = np.argsort(-sims[:, j])[:k]
+            out_q.append(np.full(top.size, qids[j], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_c.append(sims[top, j])
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "vec_id": np.concatenate(out_v),
+                         "cosine": np.concatenate(out_c)})
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    # 4dp: DuckDB's list_cosine_similarity accumulates in FLOAT32 (~5e-8
+    # error vs the engine's float64 path), so 6dp equality sits on a
+    # rounding knife edge; ranking still uses the unrounded order
+    partials["cosine"] = round_ha(partials["cosine"].to_numpy(), 4)
+    out = (
+        partials.sort_values(["query_id", "cosine", "vec_id"],
+                             ascending=[True, False, True])
+        .groupby("query_id", group_keys=False)
+        .head(k)
+    )
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_events_daily_extremes(sf_dir: str) -> pd.DataFrame:
     """Tumbling daily windows per event_type: count/min/max — a second
     window granularity over the stream table (tiled windows)."""
