@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": t.q_quality_filter,
         "bpe_token_count": t.q_bpe_token_count,
         "events_daily_extremes": q.q_events_daily_extremes,
+        "events_hopping_window": q.q_events_hopping_window,
         "customers_per_region": q.q_customers_per_region,
         "orders_monthly": q.q_orders_monthly,
         "events_value_var": q.q_events_value_var,
@@ -1380,6 +1381,25 @@ def oracle_sql() -> dict[str, str]:
             FROM per
             GROUP BY source
             ORDER BY source
+        """
+    d["events_hopping_window"] = """
+            -- hopping windows (width 2h, hop 1h): every event lands in
+            -- the 2 windows covering it
+            WITH e AS (
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) - k.k
+                           AS window_id
+                FROM events, (SELECT unnest(generate_series(0, 1)) AS k) k
+            )
+            SELECT event_type, window_id,
+                   COUNT(*) AS value_count,
+                   ROUND(SUM(value), 6) AS value_sum,
+                   ROUND(AVG(value), 6) AS value_mean,
+                   ROUND(MIN(value), 6) AS value_min,
+                   ROUND(MAX(value), 6) AS value_max
+            FROM e
+            GROUP BY event_type, window_id
+            ORDER BY event_type, window_id
         """
     d["embeddings_knn_multi"] = """
             WITH q AS (

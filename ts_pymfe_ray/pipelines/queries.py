@@ -351,6 +351,41 @@ def q_embeddings_knn_multi(sf_dir: str, k: int = 3,
     return out.reset_index(drop=True)
 
 
+def q_events_hopping_window(sf_dir: str, width_hours: int = 2,
+                            hop_hours: int = 1) -> pd.DataFrame:
+    """HOPPING (sliding) windows: width > hop, so every event lands in
+    width/hop overlapping windows.  Map side replicates each row into its
+    window ids (window w covers [w*hop, w*hop + width)); the groupby then
+    aggregates exactly like a tumbling rollup — replication factor is the
+    overlap count, the standard distributed shape for sliding windows.
+    Completes the window-type matrix: tumbling (hour/day), HOPPING,
+    session (gap), positional (bucket-16)."""
+    assert width_hours % hop_hours == 0
+    overlap = width_hours // hop_hours
+    hop_us = hop_hours * 3600 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_pylist()
+        val = batch.column("value").to_numpy()
+        base = ts // hop_us  # last window whose span contains the event
+        n = ts.size
+        k = np.arange(overlap, dtype=np.int64)
+        wins = (base[:, None] - k[None, :]).ravel()
+        return pa.table(
+            {
+                "event_type": pa.array(np.repeat(np.array(et, dtype=object), overlap),
+                                       pa.string()),
+                "window_id": pa.array(wins, pa.int64()),
+                "value": pa.array(np.repeat(val, overlap), pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_stats(ds, ["event_type", "window_id"], "value")
+
+
 def q_events_daily_extremes(sf_dir: str) -> pd.DataFrame:
     """Tumbling daily windows per event_type: count/min/max — a second
     window granularity over the stream table (tiled windows)."""
