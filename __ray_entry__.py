@@ -310,7 +310,9 @@ def _q_seq_source_rollup(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from ts_pymfe_ray.pipelines import queries as q
     from ts_pymfe_ray.pipelines import textops as t
-    from ts_pymfe_ray.stages.multimodal import q_multimodal_decode
+    from ts_pymfe_ray.stages.multimodal import (
+        q_multimodal_decode, q_multimodal_frames, q_multimodal_resize,
+    )
 
     return {
         # SQL-oracled relational/windowed aggregates
@@ -368,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ann_ivf_full": _q_ann_ivf_full,
         "lang_id": t.q_lang_id,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "seq_bootstrap_ci": _q_seq_bootstrap_ci,
         "seq_tier_diagnostics": _q_seq_tier_diagnostics,
         "seq_tier_diagnostics_nogap": _q_seq_tier_diagnostics_nogap,
@@ -1381,6 +1385,50 @@ def oracle_sql() -> dict[str, str]:
             FROM per
             GROUP BY source
             ORDER BY source
+        """
+    d["multimodal_frames"] = """
+            -- frame-sample twin: 4 char-aligned segments per payload
+            WITH m AS (
+                SELECT 'blob/' || source AS kind, text, length(text) AS n
+                FROM documents
+            ), fr AS (
+                SELECT kind,
+                       substring(text, f.f * n // 4 + 1,
+                                 (f.f + 1) * n // 4 - f.f * n // 4) AS seg
+                FROM m, (SELECT unnest(generate_series(0, 3)) AS f) f
+            )
+            SELECT kind,
+                   COUNT(*) AS n_frames,
+                   CAST(SUM(octet_length(encode(seg))) AS BIGINT) AS sum_bytes,
+                   ROUND(SUM((md5_number_upper(seg) & 4294967295)
+                             / 4294967296.0) / COUNT(*), 6) AS mean_f0
+            FROM fr
+            GROUP BY kind
+            ORDER BY kind
+        """
+    d["multimodal_resize"] = """
+            -- resize twin: char-stride downsample to <= 256 chars
+            WITH m AS (
+                SELECT 'blob/' || source AS kind, text, length(text) AS n
+                FROM documents
+            ), r AS (
+                SELECT kind,
+                       octet_length(encode(text)) AS b_in,
+                       array_to_string(list_transform(
+                           generate_series(1, n,
+                               GREATEST(1, CAST(ceil(n / 256.0) AS BIGINT))),
+                           i -> substring(text, i, 1)), '') AS rs
+                FROM m
+            )
+            SELECT kind,
+                   COUNT(*) AS n_media,
+                   CAST(SUM(b_in) AS BIGINT) AS bytes_in,
+                   CAST(SUM(octet_length(encode(rs))) AS BIGINT) AS bytes_out,
+                   ROUND(SUM((md5_number_upper(rs) & 4294967295)
+                             / 4294967296.0) / COUNT(*), 6) AS mean_f0
+            FROM r
+            GROUP BY kind
+            ORDER BY kind
         """
     d["events_hopping_window"] = """
             -- hopping windows (width 2h, hop 1h): every event lands in

@@ -327,3 +327,19 @@ def test_bpe_pattern_re2_parity():
         sql = con.execute("SELECT len(regexp_extract_all(?, ?))",
                           [s, t.BPE_SPLIT_PATTERN]).fetchone()[0]
         assert py == sql, (s, py, sql)
+
+
+def test_multimodal_frame_and_resize_stages(ray_session):
+    """Row-expansion (frame-sample) and payload-transform (resize) stage
+    plumbing: schemas, counts and deterministic stub values."""
+    from ts_pymfe_ray.stages.multimodal import (
+        q_multimodal_frames, q_multimodal_resize,
+    )
+
+    f = q_multimodal_frames(SF)
+    assert (f["n_frames"] % 4 == 0).all()
+    assert f["n_frames"].sum() == 4 * 500
+    r = q_multimodal_resize(SF)
+    assert (r["bytes_out"] <= r["bytes_in"]).all()
+    assert r["n_media"].sum() == 500
+    assert ((f["mean_f0"] >= 0) & (f["mean_f0"] <= 1)).all()

@@ -34,6 +34,15 @@ ROWS_PER_BAND = NUM_PERM // BANDS
 _MERSENNE = (1 << 31) - 1
 
 
+def _as_task(obj):
+    """Wrap a callable instance in a plain function so Ray Data ships it
+    as a TASK — passing the instance directly still triggers the
+    actor-pool path (callable-class detection) in Ray 2.49."""
+    def fn(batch):
+        return obj(batch)
+    return fn
+
+
 def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=columns or ["doc_id", "text"]
@@ -301,7 +310,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count())  # distributed pair dedup across bands
         .drop_columns(["count()"])
-        .map_batches(_MinhashVerify(path, threshold), batch_format="pyarrow")
+        .map_batches(_as_task(_MinhashVerify(path, threshold)), batch_format="pyarrow")
         .to_pandas()
     )
     if len(pairs):
@@ -593,7 +602,7 @@ def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95,
         .groupby(["vec_a", "vec_b"])
         .aggregate(Count())  # distributed pair dedup across buckets
         .drop_columns(["count()"])
-        .map_batches(_GatherVerifyCosine(path, threshold), batch_format="pyarrow")
+        .map_batches(_as_task(_GatherVerifyCosine(path, threshold)), batch_format="pyarrow")
         .to_pandas()
     )
     if len(pairs):

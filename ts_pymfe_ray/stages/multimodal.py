@@ -59,6 +59,71 @@ class MediaDecodeStage:
         )
 
 
+class FrameSampleStage:
+    """Actor-pool row-EXPANSION stage: one media payload -> ``n_frames``
+    frame rows (media_id, kind, frame_idx, payload).  The stub samples
+    char-aligned payload segments (a real video decoder would pull
+    keyframes); the plumbing — flat row expansion with binary payloads,
+    per-actor decoder state, small batches — is the real thing."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_kind, out_idx, out_pay = [], [], [], []
+        for i, p in enumerate(payloads):
+            t = p.decode()
+            n = len(t)
+            for f in range(self.n_frames):
+                seg = t[f * n // self.n_frames : (f + 1) * n // self.n_frames]
+                out_id.append(ids[i])
+                out_kind.append(kinds[i])
+                out_idx.append(f)
+                out_pay.append(seg.encode())
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, batch.schema.field("media_id").type),
+                "kind": pa.array(out_kind, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "payload": pa.array(out_pay, pa.binary()),
+            }
+        )
+
+
+class MediaResizeStage:
+    """Actor-pool payload-TRANSFORM stage: downsample each payload to at
+    most ``target`` units (stub: char-stride sampling; a real image
+    resizer would decode/resample/re-encode).  Binary in, binary out,
+    with before/after byte counts for the rollup."""
+
+    def __init__(self, target: int = 256):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        out_pay, n_in, n_out = [], [], []
+        for p in payloads:
+            t = p.decode()
+            n = len(t)
+            stride = max(1, -(-n // self.target))  # ceil(n / target)
+            r = t[::stride].encode()
+            out_pay.append(r)
+            n_in.append(len(p))
+            n_out.append(len(r))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "payload": pa.array(out_pay, pa.binary()),
+                "n_bytes_in": pa.array(n_in, pa.int64()),
+                "n_bytes_out": pa.array(n_out, pa.int64()),
+            }
+        )
+
+
 def documents_as_media(sf_dir: str):
     """Adapter: treat document text bytes as opaque media payloads so the
     multimodal path has a driver-table input."""
@@ -82,6 +147,95 @@ def documents_as_media(sf_dir: str):
         )
 
     return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_multimodal_frames(sf_dir: str, n_frames: int = 4):
+    """Frame-sample -> decode pipeline: payload -> n_frames char-aligned
+    frame rows (actor pool) -> decode stub -> per-kind frame rollup."""
+    import pandas as pd
+
+    from ts_pymfe_ray.functions.rounding import round_ha
+
+    ds = documents_as_media(sf_dir)
+    # the frame stage ships as a plain TASK closure (stateless stub);
+    # only the decode stage holds model state and runs as an actor pool.
+    # Two chained actor pools deadlock the streaming executor's resource
+    # reservation on small-cpu sessions, and Ray treats a bare callable
+    # INSTANCE as a callable class too — hence the function wrapper.
+    fstage = FrameSampleStage(n_frames=n_frames)
+
+    def frame_fn(batch: pa.Table) -> pa.Table:
+        return fstage(batch)
+
+    frames = ds.map_batches(frame_fn, batch_format="pyarrow", batch_size=64)
+    decoded = frames.map_batches(MediaDecodeStage, batch_format="pyarrow",
+                                 batch_size=128, concurrency=2)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "kind": batch.column("kind").to_pylist(),
+                "n_bytes": batch.column("n_bytes").to_numpy(),
+                "f0": [v[0] for v in batch.column("features").to_pylist()],
+            }
+        )
+        g = df.groupby("kind").agg(
+            n_frames=("n_bytes", "size"), sum_bytes=("n_bytes", "sum"), sum_f0=("f0", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = decoded.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("kind").agg(
+        n_frames=("n_frames", "sum"), sum_bytes=("sum_bytes", "sum"), sum_f0=("sum_f0", "sum")
+    ).reset_index()
+    g["mean_f0"] = round_ha((g["sum_f0"] / g["n_frames"]).to_numpy())
+    g["n_frames"] = g["n_frames"].astype("int64")
+    g["sum_bytes"] = g["sum_bytes"].astype("int64")
+    return g[["kind", "n_frames", "sum_bytes", "mean_f0"]].sort_values("kind").reset_index(drop=True)
+
+
+def q_multimodal_resize(sf_dir: str, target: int = 256):
+    """Resize -> decode pipeline: payload -> stride-downsampled payload
+    (actor pool) -> decode stub -> per-kind before/after rollup."""
+    import pandas as pd  # noqa: F401  (captured by the combiner closure)
+
+    from ts_pymfe_ray.functions.rounding import round_ha
+
+    ds = documents_as_media(sf_dir)
+    rstage = MediaResizeStage(target=target)
+
+    def resize_fn(batch: pa.Table) -> pa.Table:
+        return rstage(batch)
+
+    resized = ds.map_batches(resize_fn, batch_format="pyarrow", batch_size=64)
+    dec = MediaDecodeStage()  # tiny stub state; closed over by the combiner
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        df = pd.DataFrame(
+            {
+                "kind": batch.column("kind").to_pylist(),
+                "n_in": batch.column("n_bytes_in").to_numpy(),
+                "n_out": batch.column("n_bytes_out").to_numpy(),
+                "f0": [dec._decode_payload(p)[0] for p in payloads],
+            }
+        )
+        g = df.groupby("kind").agg(
+            n_media=("f0", "size"), bytes_in=("n_in", "sum"),
+            bytes_out=("n_out", "sum"), sum_f0=("f0", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = resized.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("kind").agg(
+        n_media=("n_media", "sum"), bytes_in=("bytes_in", "sum"),
+        bytes_out=("bytes_out", "sum"), sum_f0=("sum_f0", "sum"),
+    ).reset_index()
+    g["mean_f0"] = round_ha((g["sum_f0"] / g["n_media"]).to_numpy())
+    for c in ("n_media", "bytes_in", "bytes_out"):
+        g[c] = g[c].astype("int64")
+    return g[["kind", "n_media", "bytes_in", "bytes_out", "mean_f0"]].sort_values(
+        "kind").reset_index(drop=True)
 
 
 def q_multimodal_decode(sf_dir: str):
