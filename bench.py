@@ -253,7 +253,29 @@ def main():
                           "unit": "ratio", **res}))
         return
 
-    res = single_run(args.sf_dir, args.cpus, args.jobs.split(","))
+    if args.single_run:
+        res = single_run(args.sf_dir, args.cpus, args.jobs.split(","))
+    else:
+        # one fresh process (own Ray session) PER JOB: a single
+        # long-lived session degrades measurably as work accumulates
+        # (object-store fill + worker heap growth measured to inflate
+        # late jobs 2-3x), so the default record isolates each job
+        res = None
+        for job in args.jobs.split(","):
+            cmd = [sys.executable, os.path.abspath(__file__), "--single-run",
+                   "--jobs", job, "--cpus", str(args.cpus), "--sf-dir", args.sf_dir]
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+            lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(proc.stderr[-2000:])
+                continue
+            part = json.loads(lines[-1])
+            if res is None:
+                res = {"sf": part["sf"], "num_cpus": part["num_cpus"],
+                       "rows": part["rows"], "tokens": part["tokens"],
+                       "queries": {}, "throughput": {}}
+            res["queries"].update(part["queries"])
+            res["throughput"].update(part["throughput"])
     total = round(sum(res["queries"].values()), 3)
     out = {
         "metric": "tier_rollup_and_feature_pipeline_wall_time",
@@ -269,7 +291,8 @@ def main():
     print(json.dumps(out))
     import ray
 
-    ray.shutdown()
+    if ray.is_initialized():
+        ray.shutdown()
 
 
 if __name__ == "__main__":
