@@ -99,6 +99,7 @@ def main():
     qs = e.queries()
     oracles = e.oracle_sql()
     fails = 0
+    counts: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -120,7 +121,10 @@ def main():
         status = verdict if verdict.startswith(("OK", "rows-only")) else f"FAIL {verdict}"
         if status.startswith("FAIL"):
             fails += 1
+        counts[status.split()[0].split("(")[0]] = counts.get(status.split()[0].split("(")[0], 0) + 1
         print(f"{name:28s} {dt:6.2f}s  {status}")
+    total = sum(counts.values())
+    print(f"== {total} queries: " + ", ".join(f"{v} {k}" for k, v in sorted(counts.items())))
     ray.shutdown()
     sys.exit(1 if fails else 0)
 
