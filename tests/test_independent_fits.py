@@ -444,3 +444,38 @@ def test_orthoreg_linearity_curvature_signs():
     assert abs(curv_par) > abs(lin_par), (curv_par, lin_par)
     assert np.sign(curv_par) == np.sign(
         _kernel("curvature")(SeriesCtx(par + 5.0, "d")))
+
+
+# ------------------------------------------------- landmarking CV harness
+
+
+def test_landmarking_cv_harness_hand_computed():
+    """The forward-chaining CV harness (fold boundaries, train-fit min-max
+    scaling, RMSE) re-derived by hand for the two fully-deterministic
+    landmarking models: naive (predict last train value) and model_mean
+    (ARIMA(0,0,0)+c == train mean).  Exact equality — a bias anywhere in
+    the CV plumbing would shift every landmarking feature."""
+    rng = np.random.default_rng(83)
+    y = np.cumsum(rng.normal(size=300))
+    ctx = SeriesCtx(y, "d")
+
+    def scale(train, x):
+        lo, hi = train.min(), train.max()
+        rng_ = hi - lo if hi > lo else 1.0
+        return (x - lo) / rng_
+
+    n = y.size
+    ts = n // 6
+    exp_naive, exp_mean = [], []
+    for i in range(5):
+        test_end = n - (5 - i - 1) * ts
+        test_start = test_end - ts
+        tr, te = y[:test_start], y[test_start:test_end]
+        y_tr, y_te = scale(tr, tr), scale(tr, te)
+        exp_naive.append(np.sqrt(np.mean((y_tr[-1] - y_te) ** 2)))
+        exp_mean.append(np.sqrt(np.mean((y_tr.mean() - y_te) ** 2)))
+
+    got_naive = _kernel("model_naive")(ctx)
+    got_mean = _kernel("model_mean")(ctx)
+    assert np.allclose(got_naive, exp_naive, rtol=0, atol=1e-12), (got_naive, exp_naive)
+    assert np.allclose(got_mean, exp_mean, rtol=0, atol=1e-12), (got_mean, exp_mean)
