@@ -213,12 +213,12 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["source", "text"])
 
     def combiner(batch: pa.Table) -> pa.Table:
-        import hashlib
+        from ts_pymfe_ray.functions.md5vec import md5_lower64_list
 
         src = batch.column("source").to_pylist()
         txt = batch.column("text").to_pylist()
-        h = [hashlib.blake2b(t.encode(), digest_size=8).hexdigest() for t in txt]
-        return pa.table({"source": src, "h": h})
+        h = md5_lower64_list([t.encode() for t in txt])
+        return pa.table({"source": src, "h": pa.array(h, pa.uint64())})
 
     hashed = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
     g = hashed.groupby("source")["h"].agg(n_docs="size", uniq_docs="nunique").reset_index()
