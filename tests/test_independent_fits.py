@@ -479,3 +479,31 @@ def test_landmarking_cv_harness_hand_computed():
     got_mean = _kernel("model_mean")(ctx)
     assert np.allclose(got_naive, exp_naive, rtol=0, atol=1e-12), (got_naive, exp_naive)
     assert np.allclose(got_mean, exp_mean, rtol=0, atol=1e-12), (got_mean, exp_mean)
+
+
+def test_pacf_ols_against_fresh_regression():
+    """pacf_ols (the reference's exact ols-adjusted method) vs a fresh
+    per-lag regression built here with numpy.polyfit-free code sharing
+    nothing with stats.py; plus AR(2) theory: pacf[2] recovers the second
+    AR coefficient and higher lags vanish."""
+    from ts_pymfe_ray.functions.stats import pacf_ols
+
+    rng = np.random.default_rng(89)
+    n = 400
+    y = np.zeros(n)
+    e = rng.normal(size=n)
+    for i in range(2, n):
+        y[i] = 0.5 * y[i - 1] - 0.3 * y[i - 2] + e[i]
+
+    got = pacf_ols(y, nlags=6)
+    for k in range(1, 7):
+        rows = n - k
+        X = np.ones((rows, k + 1))
+        for j in range(1, k + 1):
+            X[:, j] = y[k - j : n - j]
+        # normal equations, solved independently
+        beta = np.linalg.solve(X.T @ X, X.T @ y[k:])
+        exp = beta[k] * n / (n - k)
+        assert abs(got[k - 1] - exp) < 1e-9, (k, got[k - 1], exp)
+    assert abs(got[1] + 0.3) < 0.08      # phi_22 == a2 for AR(2)
+    assert np.all(np.abs(got[2:]) < 0.12)  # cuts off beyond p

@@ -58,11 +58,12 @@ def acf_full(ts: np.ndarray, nlags: int | None = None, adjusted: bool = True) ->
 def pacf_ld(ts: np.ndarray, nlags: int | None = None) -> np.ndarray:
     """Partial autocorrelation via Levinson-Durbin on the adjusted ACF.
 
-    The reference uses statsmodels pacf(method="ols-adjusted")
-    (/root/reference/tspymfe/autocorr.py:194-250); OLS per lag is O(n*k^3)
-    total, so the engine uses the Levinson-Durbin recursion (Yule-Walker on
-    the adjusted ACF) — O(k^2) — and documents the (small-sample-only)
-    numerical divergence from the OLS flavor.  Returns lags 1..nlags.
+    NOTE: the registry's pacf kernels use :func:`pacf_ols` (the reference's
+    exact "ols-adjusted" method, autocorr.py:194-250) — there is NO
+    semantic divergence on the feature surface.  This O(k^2) Yule-Walker
+    recursion is kept as the fast utility flavor (tests, sketch-derived
+    paths) where the asymptotically-equivalent estimate suffices.
+    Returns lags 1..nlags.
     """
     x = np.asarray(ts, dtype=np.float64)
     n = x.size
