@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_fast_features_nogap": _q_seq_fast_features_nogap,
         "seq_token_histogram": _q_seq_token_histogram,
         "seq_kernel_affine": _q_seq_kernel_affine,
+        "seq_gapfill_mean": _q_seq_gapfill_mean,
     }
 
 
@@ -570,6 +571,56 @@ def _q_ann_ivf_full(sf_dir: str):
 
     return q_embeddings_ann_ivf(sf_dir, k=5, query_vec_id=0, n_cells=16,
                                 n_probe=16)
+
+
+
+
+def _q_seq_gapfill_mean(sf_dir: str):
+    """SQL-ORACLED twin of the GAP-FILL kernel itself (the one numeric
+    path previously without a twin): per gap-carrying doc, the mean of
+    the LOCF/NOCB/linear-interpolated series, sequentially summed
+    (np.cumsum == DuckDB's in-order list sum) and rounded to 4dp per doc
+    before the per-source average — the knife-edge recipe for float
+    interpolation values."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ts_pymfe_ray.functions.gapfill import gap_fill
+    from ts_pymfe_ray.functions.rounding import round_ha
+    from ts_pymfe_ray.sources.sequences import read_sequences
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    ds = read_sequences(seq_dir)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        from ts_pymfe_ray.stages.rollup import tokens_views
+
+        views, _, _ = tokens_views(batch)
+        sources = batch.column("source").to_pylist()
+        src_out, m4_out = [], []
+        for i, tok in enumerate(views):
+            if not (tok == -1).any():
+                continue
+            x = gap_fill(tok)
+            # sequential accumulation == DuckDB's in-order list sum
+            m4_out.append(round_ha(float(np.cumsum(x)[-1]) / x.size, 4))
+            src_out.append(sources[i])
+        df = pd.DataFrame({"source": src_out, "m4": m4_out})
+        g = df.groupby("source").agg(n=("m4", "size"), s=("m4", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("source").agg(n=("n", "sum"), s=("s", "sum")).reset_index()
+    out = pd.DataFrame(
+        {
+            "source": g["source"],
+            "n_gap_docs": g["n"].astype("int64"),
+            "avg_fill_mean": round_ha((g["s"] / g["n"]).to_numpy(), 2),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1329,6 +1380,50 @@ def oracle_sql() -> dict[str, str]:
                         '{BPE_SPLIT_PATTERN}'))) AS BIGINT) AS bpe_tokens,
                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words
             FROM documents
+            GROUP BY source
+            ORDER BY source
+        """
+    d["seq_gapfill_mean"] = f"""
+            WITH pos AS (
+                SELECT doc_id, source, unnest(tokens) AS v,
+                       generate_subscripts(tokens, 1) AS i
+                FROM read_parquet('{_SEQ_GLOB}')
+                WHERE len(list_filter(tokens, x -> x = -1)) > 0
+            ), known AS (
+                SELECT doc_id, source, i,
+                       CASE WHEN v = -1 THEN NULL
+                            ELSE CAST(v AS DOUBLE) END AS kv
+                FROM pos
+            ), w AS (
+                SELECT doc_id, source, i, kv,
+                    last_value(kv IGNORE NULLS) OVER back AS pv,
+                    last_value(CASE WHEN kv IS NOT NULL THEN i END
+                               IGNORE NULLS) OVER back AS pi,
+                    first_value(kv IGNORE NULLS) OVER fwd AS nv,
+                    first_value(CASE WHEN kv IS NOT NULL THEN i END
+                                IGNORE NULLS) OVER fwd AS ni
+                FROM known
+                WINDOW back AS (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW),
+                       fwd AS (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW
+                                        AND UNBOUNDED FOLLOWING)
+            ), per_doc AS (
+                SELECT doc_id, source,
+                       ROUND(list_aggregate(list(
+                           COALESCE(CASE WHEN kv IS NOT NULL THEN kv
+                                WHEN pv IS NULL THEN nv
+                                WHEN nv IS NULL THEN pv
+                                ELSE pv + ((nv - pv) / (ni - pi)) * (i - pi)
+                           END, 0.0) ORDER BY i), 'sum') / COUNT(*), 4) AS m4
+                FROM w
+                GROUP BY doc_id, source
+            )
+            SELECT source,
+                   COUNT(*) AS n_gap_docs,
+                   ROUND(SUM(m4) / COUNT(*), 2) AS avg_fill_mean
+            FROM per_doc
             GROUP BY source
             ORDER BY source
         """
