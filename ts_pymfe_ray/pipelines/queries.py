@@ -80,15 +80,35 @@ def q_events_window_rollup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_events_user_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Top-k users by event count (partial counts -> merge -> top-k)."""
+    """Top-k users by event count: per-batch combiner -> DISTRIBUTED
+    per-user merge -> per-block partial top-k -> tiny driver merge.
+
+    user_id is an unbounded key domain, so the cross-batch merge must be a
+    shuffle groupby, not a driver-side pandas merge (round 3 pulled one
+    partial-count row per distinct user to the driver — the whole keyspace
+    at 10^9 users).  Only k rows per output block reach the driver."""
+    from ray.data.aggregate import Sum
+
     ds = _read(sf_dir, "events", ["user_id"])
 
     def combiner(batch: pa.Table) -> pa.Table:
         u, c = np.unique(batch.column("user_id").to_numpy(), return_counts=True)
         return pa.table({"user_id": u, "c": c})
 
-    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
-    g = partials.groupby("user_id")["c"].sum().reset_index(name="num_events")
+    counts = (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["sum(c)", "user_id"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = counts.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    g = partials.rename(columns={"sum(c)": "num_events"})
     g = g.sort_values(["num_events", "user_id"], ascending=[False, True]).head(k)
     g["num_events"] = g["num_events"].astype("int64")
     return g.reset_index(drop=True)
@@ -208,23 +228,41 @@ def q_documents_token_count(sf_dir: str) -> pd.DataFrame:
 
 
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: per source, rows vs distinct texts (hash-partitioned
-    first-wins semantics; here reported as counts so SQL can verify)."""
+    """Exact dedup count report: per source, total rows vs distinct texts.
+
+    Fully distributed two-level aggregate: stage 1 groups by (source,
+    128-bit content hash) so every distinct document collapses to ONE row
+    inside the cluster; stage 2 groups the (already distinct-sized) set by
+    source.  Nothing per-document reaches the driver — round 3 pulled one
+    hash row per doc into pandas, i.e. the corpus's hash column at 10^12
+    docs.  Full-md5 keys like q_dedup_exact_keep_first: a 64-bit key would
+    silently merge two distinct texts on a collision at 1e9-doc scale."""
+    from ray.data.aggregate import Count, Sum
+
     ds = _read(sf_dir, "documents", ["source", "text"])
 
     def combiner(batch: pa.Table) -> pa.Table:
-        from ts_pymfe_ray.functions.md5vec import md5_lower64_list
+        from ts_pymfe_ray.functions.md5vec import md5_pair64, pack_bytes
 
         src = batch.column("source").to_pylist()
         txt = batch.column("text").to_pylist()
-        h = md5_lower64_list([t.encode() for t in txt])
-        return pa.table({"source": src, "h": pa.array(h, pa.uint64())})
+        lo, hi = md5_pair64(*pack_bytes([t.encode() for t in txt]))
+        return pa.table({"source": pa.array(src, pa.string()),
+                         "h_lo": pa.array(lo, pa.uint64()),
+                         "h_hi": pa.array(hi, pa.uint64())})
 
-    hashed = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
-    g = hashed.groupby("source")["h"].agg(n_docs="size", uniq_docs="nunique").reset_index()
-    g["n_docs"] = g["n_docs"].astype("int64")
-    g["uniq_docs"] = g["uniq_docs"].astype("int64")
-    return g.sort_values("source").reset_index(drop=True)
+    distinct = (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby(["source", "h_lo", "h_hi"])
+        .aggregate(Count())  # one row per distinct (source, text)
+    )
+    g = distinct.groupby("source").aggregate(Sum("count()"), Count()).to_pandas()
+    out = pd.DataFrame({
+        "source": g["source"],
+        "n_docs": g["sum(count())"].astype("int64"),
+        "uniq_docs": g["count()"].astype("int64"),
+    })
+    return out.sort_values("source").reset_index(drop=True)
 
 
 def q_dedup_exact_keep_first(sf_dir: str) -> pd.DataFrame:
@@ -336,16 +374,20 @@ def q_embeddings_knn_multi(sf_dir: str, k: int = 3,
                          "cosine": np.concatenate(out_c)})
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    # 4dp: DuckDB's list_cosine_similarity accumulates in FLOAT32 (~5e-8
-    # error vs the engine's float64 path), so 6dp equality sits on a
-    # rounding knife edge; ranking still uses the unrounded order
-    partials["cosine"] = round_ha(partials["cosine"].to_numpy(), 4)
+    # rank on the UNROUNDED cosine with vec_id tiebreak — mirrors the SQL
+    # twin's row_number over the raw similarity (ranking on the rounded
+    # value could keep a different vec_id on a 4dp tie at the k boundary)
     out = (
         partials.sort_values(["query_id", "cosine", "vec_id"],
                              ascending=[True, False, True])
         .groupby("query_id", group_keys=False)
         .head(k)
     )
+    # 4dp on the EMITTED value only: DuckDB's list_cosine_similarity
+    # accumulates in FLOAT32 (~5e-8 error vs the engine's float64 path),
+    # so 6dp equality sits on a rounding knife edge
+    out = out.copy()
+    out["cosine"] = round_ha(out["cosine"].to_numpy(), 4)
     out["query_id"] = out["query_id"].astype("int64")
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.reset_index(drop=True)

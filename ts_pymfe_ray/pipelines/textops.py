@@ -94,7 +94,9 @@ def _mod_mersenne(v: np.ndarray, tmp: np.ndarray | None = None) -> np.ndarray:
 def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
     """(NUM_PERM,) minhash signature — one vectorized (perm x shingle)
     modmul, exact in uint64 thanks to the 31-bit modulus."""
-    x = _mod_mersenne(np.asarray(shingle_hashes, dtype=np.uint64))
+    # copy=True: _mod_mersenne reduces IN PLACE — np.asarray would alias a
+    # caller's uint64 array and silently corrupt it for later use
+    x = _mod_mersenne(np.array(shingle_hashes, dtype=np.uint64, copy=True))
     vals = _mod_mersenne(_A[:, None] * x[None, :] + _B[:, None])
     return vals.min(axis=1)
 
@@ -106,6 +108,10 @@ def minhash_signatures_batch(shingle_lists: list[np.ndarray]) -> np.ndarray:
     n = len(shingle_lists)
     out = np.empty((n, NUM_PERM), dtype=np.uint64)
     sizes = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64, count=n)
+    # a zero-shingle doc would duplicate a reduceat offset and silently
+    # return the NEXT doc's first value as this doc's minimum; the shingle
+    # source guarantees >=1 window per doc — fail loudly if that changes
+    assert n == 0 or (sizes > 0).all(), "empty shingle set in minhash batch"
     # fixed-size cache-resident work buffers reused across chunks — all
     # hot ops are in-place, no per-chunk large allocation
     chunk = 32768
@@ -906,18 +912,33 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
 
 
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Per-source distinct rolling-fingerprint report — fully distributed
+    two-level aggregate (groupby (source, fp) collapses duplicates inside
+    the cluster; the per-source rollup then counts distinct rows).  Round 3
+    pulled one fingerprint row per doc to the driver for a pandas nunique —
+    the corpus's fp column at scale."""
+    from ray.data.aggregate import Count, Sum
+
     ds = _read_docs(sf_dir, ["source", "text"])
 
     def combiner(batch: pa.Table) -> pa.Table:
         src = batch.column("source").to_pylist()
         fps = rolling_fingerprints_batch(batch.column("text").to_pylist())
-        return pa.table({"source": src, "fp": pa.array(fps, pa.uint64())})
+        return pa.table({"source": pa.array(src, pa.string()),
+                         "fp": pa.array(fps, pa.uint64())})
 
-    fps = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
-    g = fps.groupby("source")["fp"].agg(n_docs="size", uniq_fingerprints="nunique").reset_index()
-    g["n_docs"] = g["n_docs"].astype("int64")
-    g["uniq_fingerprints"] = g["uniq_fingerprints"].astype("int64")
-    return g.sort_values("source").reset_index(drop=True)
+    distinct = (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby(["source", "fp"])
+        .aggregate(Count())
+    )
+    g = distinct.groupby("source").aggregate(Sum("count()"), Count()).to_pandas()
+    out = pd.DataFrame({
+        "source": g["source"],
+        "n_docs": g["sum(count())"].astype("int64"),
+        "uniq_fingerprints": g["count()"].astype("int64"),
+    })
+    return out.sort_values("source").reset_index(drop=True)
 
 
 # ------------------------------------------------------------ ANN: IVF path
