@@ -357,6 +357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_source_rollup_nogap": _q_seq_source_rollup_nogap,
         "dedup_minhash": t.q_dedup_minhash,
         "dedup_clusters": t.q_dedup_clusters,
+        # distributed hash-to-min component resolve; same SQL twin as the
+        # union-find version (outputs are equal by construction + pytest)
+        "dedup_clusters_lp": t.q_dedup_clusters_lp,
         "dedup_simhash": t.q_dedup_simhash,
         "dedup_ngram_jaccard": t.q_dedup_ngram_jaccard,
         # planted near-dups (driver data's max pair cosine is 0.51 — the
@@ -1591,4 +1594,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY root
             ORDER BY cluster_id
         """
+    d["dedup_clusters_lp"] = d["dedup_clusters"]
     return d

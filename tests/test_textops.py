@@ -343,3 +343,72 @@ def test_multimodal_frame_and_resize_stages(ray_session):
     assert (r["bytes_out"] <= r["bytes_in"]).all()
     assert r["n_media"].sum() == 500
     assert ((f["mean_f0"] >= 0) & (f["mean_f0"] <= 1)).all()
+
+
+def _write_cluster_docs(tmp_path, n_dup: int, n_distinct: int = 10):
+    """Docs table with doc_ids [0, n_dup) sharing ONE identical text (a
+    degenerate boilerplate cluster) plus n_distinct unique docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    boiler = " ".join(f"w{i % 7}tok{i}" for i in range(30))
+    texts = [boiler] * n_dup + [
+        " ".join(f"uniq{j}x{i}word" for i in range(25)) for j in range(n_distinct)
+    ]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["src0"] * n),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_bucket_cap_star_pairing_linear(ray_session, tmp_path):
+    """A 1000-duplicate boilerplate cluster: capped candidate generation
+    must emit O(n) pairs (star around the min id), not O(n^2), while the
+    cluster materialization stays identical (one component, all members)."""
+    n = 1000
+    d = _write_cluster_docs(tmp_path, n_dup=n)
+    pairs = t.q_dedup_minhash(d, threshold=0.6, bucket_cap=32)
+    # star pairing: every duplicate pairs with doc 0 exactly once
+    assert len(pairs) == n - 1
+    assert (pairs["doc_a"] == 0).all()
+    assert sorted(pairs["doc_b"]) == list(range(1, n))
+    cl = t.q_dedup_clusters(d, threshold=0.6, bucket_cap=32)
+    assert list(map(tuple, cl.to_numpy())) == [(0, n, n - 1)]
+    sh = t.q_dedup_simhash(d, max_hamming=3, bucket_cap=32)
+    assert len(sh) == n - 1
+    assert (sh["doc_a"] == 0).all() and (sh["hamming"] == 0).all()
+
+
+def test_bucket_cap_equals_uncapped_clusters(ray_session, tmp_path):
+    """On a small cluster, capped (star) and exact (all-pairs) candidate
+    generation resolve to the SAME connected components."""
+    d = _write_cluster_docs(tmp_path, n_dup=24)
+    exact = t.q_dedup_clusters(d, threshold=0.6)
+    star = t.q_dedup_clusters(d, threshold=0.6, bucket_cap=8)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(exact, star)
+    # capped pair set is the star subset
+    pairs_star = t.q_dedup_minhash(d, threshold=0.6, bucket_cap=8)
+    pairs_all = t.q_dedup_minhash(d, threshold=0.6)
+    assert len(pairs_star) == 23 and len(pairs_all) == 24 * 23 // 2
+
+
+def test_dedup_clusters_label_propagation_matches_union_find(ray_session):
+    """The distributed hash-to-min component resolve equals the driver
+    union-find on the real sf0.001 pair graph."""
+    import pandas as pd
+
+    uf = t.q_dedup_clusters(SF)
+    lp = t.q_dedup_clusters_lp(SF)
+    pd.testing.assert_frame_equal(uf, lp)

@@ -230,6 +230,24 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return len(sa & sb) / u if u else 0.0
 
 
+def _bucket_pair_indices(n: int, bucket_cap: int | None):
+    """Candidate-pair index arrays for one LSH bucket of n SORTED member
+    ids.  Uncapped: all O(n^2) pairs (the SQL-oracled exact mode).  Hot
+    buckets (> bucket_cap members) STAR-PAIR instead — every member pairs
+    with the bucket's min id.  The pair graph's connected components are
+    unchanged (members stay linked through the hub), so downstream
+    clustering is identical, but a degenerate corpus (1e6 identical
+    boilerplate docs sharing every band key) emits 1e6 - 1 pair rows
+    instead of ~5e11 before the pair-dedup aggregate."""
+    if n < 2:
+        z = np.empty(0, np.int64)
+        return z, z
+    if bucket_cap is not None and n > bucket_cap:
+        return (np.zeros(n - 1, dtype=np.int64),
+                np.arange(1, n, dtype=np.int64))
+    return np.triu_indices(n, k=1)
+
+
 class _MinhashVerify:
     """Verify stage for MinHash candidate pairs (stateless callable,
     shipped as a plain task — no actor-pool spin-up cost): per batch,
@@ -273,7 +291,8 @@ class _MinhashVerify:
         )
 
 
-def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+def q_dedup_minhash(sf_dir: str, threshold: float = 0.6,
+                    bucket_cap: int | None = None) -> pd.DataFrame:
     """MinHash+LSH near-duplicate pairs: shingle -> minhash -> band ->
     (band_key, doc_id) groupby -> candidate pairs -> distributed pair
     dedup -> signature-recompute verify with point-read gather.
@@ -281,7 +300,10 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     Scale shape: only (band_key:u64, doc_id:i64) rows cross the
     all-to-all shuffle; the verify stage recomputes signatures for
     exactly the doc_ids its candidate batch touches (candidates are a
-    vanishing fraction of the corpus at a sane band/row config)."""
+    vanishing fraction of the corpus at a sane band/row config).
+    ``bucket_cap`` star-pairs hot band buckets (see _bucket_pair_indices)
+    — the production knob against boilerplate-cluster pair blowup; None =
+    exact all-pairs (the SQL-oracled mode)."""
     from ray.data.aggregate import Count
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -301,11 +323,8 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         )
 
     def cand_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy())
-        if ids.size < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(ids.size, k=1)
+        ids = np.unique(group.column("doc_id").to_numpy())  # sorted
+        ii, jj = _bucket_pair_indices(ids.size, bucket_cap)
         return pa.table({"doc_a": pa.array(ids[ii], pa.int64()),
                          "doc_b": pa.array(ids[jj], pa.int64())})
 
@@ -328,9 +347,13 @@ def simhash64(text: str) -> np.uint64:
     return np.uint64(simhash64_batch([text])[0])
 
 
-def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+def q_dedup_simhash(sf_dir: str, max_hamming: int = 3,
+                    bucket_cap: int | None = None) -> pd.DataFrame:
     """SimHash near-dup pairs via 4-segment LSH (any pair within hamming
-    distance 3 shares at least one exact 16-bit segment)."""
+    distance 3 shares at least one exact 16-bit segment).  ``bucket_cap``
+    star-pairs hot segment buckets against the min-id member (hamming
+    filter still applied) — O(m) rows per degenerate bucket instead of
+    O(m^2); None = exact all-pairs (the SQL-oracled mode)."""
     ds = _read_docs(sf_dir)
 
     def to_segments(batch: pa.Table) -> pa.Table:
@@ -352,8 +375,14 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         sims = group.column("sim").to_pylist()
         out = {"doc_a": [], "doc_b": [], "hamming": []}
         uniq = sorted(set(zip(ids, sims)))
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
+        if bucket_cap is not None and len(uniq) > bucket_cap:
+            hub = [uniq[0]]  # star-pair against the min-id member
+            rest = range(1, len(uniq))
+        else:
+            hub, rest = None, None
+        for i in range(len(uniq) if hub is None else 1):
+            js = range(i + 1, len(uniq)) if hub is None else rest
+            for j in js:
                 if uniq[i][0] == uniq[j][0]:
                     continue
                 ham = bin(uniq[i][1] ^ uniq[j][1]).count("1")
@@ -532,7 +561,8 @@ class _GatherVerifyCosine:
 
 
 def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95,
-                         plant: int = 0) -> pd.DataFrame:
+                         plant: int = 0,
+                         bucket_cap: int | None = None) -> pd.DataFrame:
     """Embedding-cosine near-duplicates via random-hyperplane LSH banding:
     signature map -> (bucket, vec_id) groupby -> candidate pairs ->
     distributed pair dedup -> exact cosine verify with point-read gather.
@@ -593,11 +623,8 @@ def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95,
         )
 
     def cand_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("vec_id").to_numpy())
-        if ids.size < 2:
-            return pa.table({"vec_a": pa.array([], pa.int64()),
-                             "vec_b": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(ids.size, k=1)
+        ids = np.unique(group.column("vec_id").to_numpy())  # sorted
+        ii, jj = _bucket_pair_indices(ids.size, bucket_cap)
         return pa.table({"vec_a": pa.array(ids[ii], pa.int64()),
                          "vec_b": pa.array(ids[jj], pa.int64())})
 
@@ -616,7 +643,8 @@ def q_embeddings_neardup(sf_dir: str, threshold: float = 0.95,
     return pairs.reset_index(drop=True)
 
 
-def q_dedup_clusters(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+def q_dedup_clusters(sf_dir: str, threshold: float = 0.6,
+                     bucket_cap: int | None = None) -> pd.DataFrame:
     """Near-duplicate CLUSTER materialization — the step after pair
     generation in a production dedup: connected components over the
     MinHash pair graph, representative = smallest doc_id (keep-first).
@@ -627,7 +655,7 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     the corpus — at 10^9 docs the pair list is what a dedup job ships to
     its final reducer anyway.  Output: one row per multi-doc cluster
     (cluster_id = representative, n_docs, max_doc_id)."""
-    pairs = q_dedup_minhash(sf_dir, threshold)
+    pairs = q_dedup_minhash(sf_dir, threshold, bucket_cap=bucket_cap)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -653,6 +681,75 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
             "max_doc_id": pd.Series([r[2] for r in rows], dtype="int64"),
         }
     )
+
+
+def q_dedup_clusters_lp(sf_dir: str, threshold: float = 0.6,
+                        bucket_cap: int | None = None,
+                        max_iters: int = 32) -> pd.DataFrame:
+    """DISTRIBUTED connected components over the near-dup pair graph —
+    the min-label (hash-to-min) variant of q_dedup_clusters for
+    adversarial pair volumes where even the pair OUTPUT is too large for
+    a driver union-find.
+
+    Each round is groupby-only: symmetrize edges, group by node, link
+    every neighbor (and the node itself) to the group's minimum id.
+    Components converge to star graphs around their min id in O(log
+    diameter) rounds; convergence is detected from a cheap (count, sum)
+    edge-multiset checksum.  Output is identical to the union-find
+    version (pytest-enforced) and shares its recursive-CTE SQL twin."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    pairs = q_dedup_minhash(sf_dir, threshold, bucket_cap=bucket_cap)
+    empty = pd.DataFrame({
+        "cluster_id": pd.Series([], dtype="int64"),
+        "n_docs": pd.Series([], dtype="int64"),
+        "max_doc_id": pd.Series([], dtype="int64"),
+    })
+    if pairs.empty:
+        return empty
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "u": pairs["doc_a"].astype("int64"),
+        "v": pairs["doc_b"].astype("int64"),
+    }))
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy()
+        v = batch.column("v").to_numpy()
+        return pa.table({"u": np.concatenate([u, v]),
+                         "v": np.concatenate([v, u])})
+
+    def hash_to_min(df: pd.DataFrame) -> pd.DataFrame:
+        u = int(df["u"].iloc[0])
+        vs = df["v"].to_numpy()
+        m = min(u, int(vs.min()))
+        nodes = np.unique(np.concatenate([vs, [u]]))
+        return pd.DataFrame({"u": nodes.astype(np.int64),
+                             "v": np.full(nodes.size, m, dtype=np.int64)})
+
+    prev_sig = None
+    for _ in range(max_iters):
+        edges = (
+            edges.map_batches(symmetrize, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(hash_to_min, batch_format="pandas")
+            .groupby(["u", "v"])
+            .aggregate(Count())
+            .drop_columns(["count()"])
+        )
+        stats = edges.aggregate(Count(), Sum("u"), Sum("v"))
+        sig = (stats["count()"], stats["sum(u)"], stats["sum(v)"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint: every node u carries exactly one edge (u, component_min),
+    # including (min, min) itself — the per-cluster rollup is a groupby
+    g = edges.groupby("v").aggregate(Count(), Max("u")).to_pandas()
+    out = pd.DataFrame({
+        "cluster_id": g["v"].astype("int64"),
+        "n_docs": g["count()"].astype("int64"),
+        "max_doc_id": g["max(u)"].astype("int64"),
+    })
+    return out.sort_values("cluster_id").reset_index(drop=True)
 
 
 # ------------------------------------------------------------- text analysis
