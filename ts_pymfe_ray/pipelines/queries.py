@@ -1003,20 +1003,27 @@ def q_events_distinct_users_kmv(sf_dir: str, k: int = 64) -> pd.DataFrame:
     union (exact KMV merge).  Deterministic, so the DuckDB twin computes
     the IDENTICAL estimate from the same hashes — an approximate
     operator with an exact oracle."""
-    from ts_pymfe_ray.pipelines.textops import _md5_64
-
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        from ts_pymfe_ray.functions.md5vec import md5_lower64_list
+
         df = pd.DataFrame({
             "event_type": batch.column("event_type").to_pylist(),
             "user_id": batch.column("user_id").to_numpy(),
-        })
+        }).drop_duplicates()
+        # batched md5 over the batch's distinct users (hashed once even
+        # when a user spans several event types); bit-identical to the
+        # per-user hashlib path it replaces
+        uu = df["user_id"].unique()
+        hs = md5_lower64_list([str(int(u)).encode() for u in uu])
+        hmap = dict(zip(uu.tolist(), hs.tolist()))
         rows_t, rows_h = [], []
         for et, grp in df.groupby("event_type"):
-            hs = sorted({_md5_64(str(int(u))) for u in grp["user_id"].unique()})[:k]
-            rows_t.extend([et] * len(hs))
-            rows_h.extend(hs)
+            hv = np.sort(np.array([hmap[int(u)] for u in grp["user_id"]],
+                                  dtype=np.uint64))[:k]
+            rows_t.extend([et] * hv.size)
+            rows_h.extend(hv.tolist())
         return pa.table({"event_type": pa.array(rows_t, pa.string()),
                          "hv": pa.array(rows_h, pa.uint64())})
 

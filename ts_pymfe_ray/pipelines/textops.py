@@ -162,27 +162,49 @@ def band_keys_batch(sigs: np.ndarray) -> np.ndarray:
 def _doc_windows(texts: list[str], k: int):
     """Batch k-word-window layout over a whole batch of documents: one
     concatenated UTF-8 buffer + window (offset, length) views + per-doc
-    window offsets.  Zero per-window Python work — a k-word window of a
-    space-joined text IS a contiguous substring of its encoding.
+    window offsets.  Zero per-window AND zero per-word Python work — word
+    boundaries come from one vectorized space scan of the flat buffer
+    (doc boundaries are word boundaries too), byte-identical to the
+    per-doc word_windows() fallback (parity-tested).
 
     Returns (flat_uint8, win_offsets, win_lengths, doc_win_offsets) where
     doc_win_offsets has len(texts)+1 entries (documents with fewer than k
     words contribute one whole-text window, matching the single-doc
     fallbacks)."""
+    n = len(texts)
     encs = [t.encode() for t in texts]
     flat = np.frombuffer(b"".join(encs), dtype=np.uint8)
-    offs_l, lens_l = [], []
-    doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
-    base = 0
-    for i, e in enumerate(encs):
-        o, l, _ = word_windows(e, k, base=base)
-        offs_l.append(o)
-        lens_l.append(l)
-        doc_off[i + 1] = doc_off[i] + len(o)
-        base += len(e)
-    if not encs:
-        return flat, np.empty(0, np.int64), np.empty(0, np.int64), doc_off
-    return flat, np.concatenate(offs_l), np.concatenate(lens_l), doc_off
+    if n == 0:
+        return flat, np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(1, np.int64)
+    dlen = np.fromiter((len(e) for e in encs), np.int64, count=n)
+    doc_b = np.zeros(n + 1, np.int64)
+    np.cumsum(dlen, out=doc_b[1:])
+    sp = np.flatnonzero(flat == np.uint8(0x20))
+    nw = np.diff(np.searchsorted(sp, doc_b)) + 1  # split(" ") word counts
+    # word starts = doc starts + byte-after-space; word ends = spaces +
+    # doc ends.  Each doc contributes nw_d of each; value ties at doc
+    # boundaries (empty edge words) are interchangeable, so a plain sort
+    # pairs the i-th start with the i-th end correctly.
+    starts = np.sort(np.concatenate([doc_b[:-1], sp + 1]))
+    ends = np.sort(np.concatenate([sp, doc_b[1:]]))
+    woff = np.zeros(n + 1, np.int64)
+    np.cumsum(nw, out=woff[1:])
+    if k == 1:
+        return flat, starts, ends - starts, woff
+    nwin = np.maximum(nw - k + 1, 1)  # < k words -> one whole-text window
+    doc_off = np.zeros(n + 1, np.int64)
+    np.cumsum(nwin, out=doc_off[1:])
+    total = int(doc_off[-1])
+    # window j of doc d spans starts[woff[d]+j] .. ends[woff[d]+j+k-1]
+    wi = np.repeat(woff[:-1], nwin) + (
+        np.arange(total, dtype=np.int64) - np.repeat(doc_off[:-1], nwin))
+    offs_out = starts[wi]
+    lens_out = ends[np.minimum(wi + (k - 1), woff[-1] - 1)] - offs_out
+    short = np.repeat(nw < k, nwin)
+    if short.any():
+        offs_out[short] = np.repeat(doc_b[:-1], nwin)[short]
+        lens_out[short] = np.repeat(dlen, nwin)[short]
+    return flat, offs_out, lens_out, doc_off
 
 
 def _md5_shingles_batch(texts: list[str], k: int = 3) -> list[np.ndarray]:
@@ -761,23 +783,77 @@ from ts_pymfe_ray.functions.langprofiles import (
 # the text-quality stopword signal uses the English profile
 _STOPWORDS = PROFILES["en"]
 
+_PUNCT_BYTES = np.frombuffer(b".,;:!?", dtype=np.uint8)
+
+
+def _pack_small_words(words) -> np.ndarray:
+    """Sorted uint32 little-endian zero-padded packings of <=4-byte words
+    — the stopword lookup table for exact vectorized membership."""
+    arr = np.zeros((len(words), 4), dtype=np.uint8)
+    for i, w in enumerate(sorted(words)):
+        b = w.encode()
+        assert len(b) <= 4, "stopword packing assumes <=4-byte words"
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return np.sort(arr.view(np.uint32).ravel())
+
+
+_STOP_PACKED = _pack_small_words(_STOPWORDS)
+
+
+def _count_stopwords(flat: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+                     doc_off: np.ndarray) -> np.ndarray:
+    """Per-doc stopword counts via exact uint32 word packing: only words
+    of <= 4 bytes can be stopwords (every profile word is <= 4 bytes), so
+    the 4-byte zero-padded packing is collision-free — no hashing."""
+    hit = np.zeros(offs.size, dtype=np.int64)
+    sel = np.flatnonzero(lens <= 4)
+    if sel.size and flat.size:
+        idx = offs[sel, None] + np.arange(4, dtype=np.int64)[None, :]
+        np.clip(idx, 0, flat.size - 1, out=idx)
+        g = flat[idx] * (np.arange(4, dtype=np.int64)[None, :] < lens[sel, None])
+        packed = np.ascontiguousarray(g.astype(np.uint8)).view(np.uint32).ravel()
+        hit[sel] = np.isin(packed, _STOP_PACKED)
+    return np.add.reduceat(hit, doc_off[:-1]) if offs.size else hit
+
+
+def _quality_signals_batch(texts: list[str]):
+    """Vectorized per-doc quality signals over a whole batch: ONE word-view
+    layout + byte-level prefix sums replace the round-3 per-word Python
+    loops.  Returns int64 arrays (n_words, n_chars, n_stop, n_punct,
+    sum_word_chars); char counts are codepoints (non-continuation bytes),
+    bitwise-matching len(t) / len(w) on the str side."""
+    flat, offs, lens, doc_off = _doc_windows(texts, 1)
+    n = len(texts)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z, z
+    nw = np.diff(doc_off)
+    cc = np.zeros(flat.size + 1, dtype=np.int32)  # codepoint prefix counts
+    np.cumsum((flat & np.uint8(0xC0)) != np.uint8(0x80), out=cc[1:])
+    pp = np.zeros(flat.size + 1, dtype=np.int32)  # punct prefix counts
+    np.cumsum(np.isin(flat, _PUNCT_BYTES), out=pp[1:])
+    start = offs[doc_off[:-1]]                      # doc byte span = first
+    last_w = doc_off[1:] - 1                        # word start .. last word
+    end = offs[last_w] + lens[last_w]               # end (spaces included)
+    n_chars = (cc[end] - cc[start]).astype(np.int64)
+    n_punct = (pp[end] - pp[start]).astype(np.int64)
+    # " ".join identity: word chars = doc chars minus the nw-1 spaces
+    sum_wchars = n_chars - nw + 1
+    n_stop = _count_stopwords(flat, offs, lens, doc_off)
+    return nw, n_chars, n_stop, n_punct, sum_wchars
+
 
 def text_quality_features(texts: list[str]) -> pd.DataFrame:
-    n_words, n_chars, stop_ratio, punct_ratio, mean_wlen = [], [], [], [], []
-    for t in texts:
-        words = t.split(" ")
-        n_words.append(len(words))
-        n_chars.append(len(t))
-        stop_ratio.append(sum(w in _STOPWORDS for w in words) / max(1, len(words)))
-        punct_ratio.append(sum(ch in ".,;:!?" for ch in t) / max(1, len(t)))
-        mean_wlen.append(np.mean([len(w) for w in words]) if words else 0.0)
+    nw, n_chars, n_stop, n_punct, sum_wchars = _quality_signals_batch(texts)
+    nwf = np.maximum(1, nw).astype(np.float64)
     return pd.DataFrame(
         {
-            "n_words": np.array(n_words, dtype=np.int64),
-            "n_chars": np.array(n_chars, dtype=np.int64),
-            "stopword_ratio": stop_ratio,
-            "punct_ratio": punct_ratio,
-            "mean_word_len": mean_wlen,
+            "n_words": nw,
+            "n_chars": n_chars,
+            "stopword_ratio": n_stop / nwf,
+            "punct_ratio": n_punct / np.maximum(1, n_chars).astype(np.float64),
+            # integer sums < 2^53: identical to np.mean of per-word lengths
+            "mean_word_len": sum_wchars / nw.astype(np.float64),
         }
     )
 
@@ -912,21 +988,13 @@ def q_quality_filter(sf_dir: str, min_words: int = 30, max_words: int = 5000,
         ids = batch.column("doc_id").to_numpy()
         src = batch.column("source").to_pylist()
         texts = batch.column("text").to_pylist()
-        n = len(texts)
-        keep = np.zeros(n, dtype=bool)
-        n_words = np.zeros(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = t.split(" ")
-            nw = len(words)
-            n_words[i] = nw
-            nstop = sum(w in _STOPWORDS for w in words)
-            npunct = sum(ch in ".,;:!?" for ch in t)
-            keep[i] = (
-                min_words <= nw <= max_words
-                and nstop * 100 >= nw * min_stop_pct
-                and npunct * 100 <= len(t) * max_punct_pct
-            )
-        df = pd.DataFrame({"source": src, "keep": keep, "nw": n_words,
+        nw, n_chars, n_stop, n_punct, _ = _quality_signals_batch(texts)
+        keep = (
+            (nw >= min_words) & (nw <= max_words)
+            & (n_stop * 100 >= nw * min_stop_pct)
+            & (n_punct * 100 <= n_chars * max_punct_pct)
+        )
+        df = pd.DataFrame({"source": src, "keep": keep, "nw": nw,
                            "doc_id": ids.astype(np.int64)})
         g = df.groupby("source").agg(
             n_total=("keep", "size"), n_kept=("keep", "sum")
