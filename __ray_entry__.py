@@ -512,13 +512,18 @@ def _q_seq_bootstrap_ci(sf_dir: str):
 
 
 def _q_seq_kernel_affine(sf_dir: str):
-    """SQL-ORACLED twin of two real FEATURE KERNELS end-to-end: the
-    turning_points array mean and frac_cp are AFFINE-INVARIANT, so the
-    values the registry kernels compute on the standardized series equal
-    what integer-domain SQL computes on the raw tokens (strict/equal
-    comparisons survive the (x-mu)/sd map; products of token diffs are
-    exact below 2^53).  Gap-free docs only (interpolated fill is float),
-    last-512 analysis cap mirrored in the SQL slice."""
+    """SQL-ORACLED twin of EIGHT real FEATURE KERNELS end-to-end:
+    turning_points / frac_cp / length / diff / bin_mean / step_changes /
+    fs_len / hist_entropy.  c.ts is the raw capped token series stored in
+    float64 (exact below 2^53), so strict/equal comparisons, prefix
+    moment inequalities (cleared of divisions in HUGEINT) and np.linspace
+    bin edges (same IEEE ops in DuckDB) are replicable exactly — per-doc
+    values are bitwise vs the SQL twin for 7 kernels; hist_entropy is
+    within 1 ulp (10-element summation order) and is rounded to 6dp
+    per-doc on BOTH sides.  Gap-free docs only (interpolated fill is
+    float), last-512 analysis cap mirrored in the SQL slice; docs whose
+    10-bin discretization never changes (fs_len = NaN) are filtered on
+    both sides."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -533,7 +538,12 @@ def _q_seq_kernel_affine(sf_dir: str):
     seq_dir = ensure_sequences_for_dir(sf_dir)
     ds = read_sequences(seq_dir)
     ds = ds.map_batches(_filter_gapfree, batch_format="pyarrow", zero_copy_batch=True)
-    kernels = [REGISTRY["turning_points"], REGISTRY["frac_cp"]]
+    knames = ["turning_points", "frac_cp", "length", "diff", "bin_mean",
+              "step_changes", "fs_len", "hist_entropy"]
+    kernels = [REGISTRY[n] for n in knames]
+    vkeys = ["turning_points.mean", "frac_cp", "length", "diff.mean",
+             "bin_mean.mean", "step_changes.mean", "fs_len.mean", "hist_entropy"]
+    cols = ["tp", "fc", "ln", "dm", "bm", "st", "fl", "he"]
 
     def per_batch(batch: pa.Table) -> pa.Table:
         from ts_pymfe_ray.stages.rollup import tokens_views
@@ -541,27 +551,43 @@ def _q_seq_kernel_affine(sf_dir: str):
         views, _, _ = tokens_views(batch)
         doc_ids = batch.column("doc_id").to_pylist()
         sources = batch.column("source").to_pylist()
-        tp, fc = [], []
+        rows = {c: [] for c in cols}
+        src_out = []
         for i, tok in enumerate(views):
             vals = evaluate_row(tok.astype(np.float64), doc_ids[i], kernels)
-            tp.append(vals["turning_points.mean"])
-            fc.append(vals["frac_cp"])
-        df = pd.DataFrame({"source": sources, "tp": tp, "fc": fc})
+            if not np.isfinite(vals["fs_len.mean"]):
+                continue  # SQL filter: n_changes >= 1
+            src_out.append(sources[i])
+            for c, k in zip(cols, vkeys):
+                v = vals[k]
+                if c == "he":  # 1-ulp summation-order noise -> 6dp per doc
+                    v = round_ha(v, 6)
+                rows[c].append(v)
+        df = pd.DataFrame({"source": src_out, **rows})
         g = df.groupby("source").agg(
-            n=("tp", "size"), tp_sum=("tp", "sum"), fc_sum=("fc", "sum")
+            n=("tp", "size"), **{f"{c}_sum": (c, "sum") for c in cols}
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
     g = partials.groupby("source").agg(
-        n=("n", "sum"), tp_sum=("tp_sum", "sum"), fc_sum=("fc_sum", "sum")
+        n=("n", "sum"), **{f"{c}_sum": (f"{c}_sum", "sum") for c in cols}
     ).reset_index()
+    nn = g["n"].to_numpy()
     out = pd.DataFrame(
         {
             "source": g["source"],
             "n_docs": g["n"].astype("int64"),
-            "avg_turning_frac": round_ha((g["tp_sum"] / g["n"]).to_numpy()),
-            "avg_cp_frac": round_ha((g["fc_sum"] / g["n"]).to_numpy()),
+            "avg_turning_frac": round_ha((g["tp_sum"] / nn).to_numpy()),
+            "avg_cp_frac": round_ha((g["fc_sum"] / nn).to_numpy()),
+            "avg_length": round_ha((g["ln_sum"] / nn).to_numpy()),
+            "avg_diff_mean": round_ha((g["dm_sum"] / nn).to_numpy()),
+            "avg_bin_frac": round_ha((g["bm_sum"] / nn).to_numpy()),
+            "avg_step_frac": round_ha((g["st_sum"] / nn).to_numpy()),
+            "avg_fs_len": round_ha((g["fl_sum"] / nn).to_numpy()),
+            # per-doc-rounded inputs still carry float noise in the sum:
+            # 4dp on the average keeps the boundary clear on both sides
+            "avg_hist_ent": round_ha((g["he_sum"] / nn).to_numpy(), 4),
         }
     )
     return out.sort_values("source").reset_index(drop=True)
@@ -1457,14 +1483,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """
     d["seq_kernel_affine"] = f"""
+            -- 8-kernel affine/integer-exact twin; see _q_seq_kernel_affine.
+            -- bins replicate np.linspace edges (same IEEE double ops);
+            -- step_changes inequality is cleared of divisions in HUGEINT
             WITH docs AS (
-                SELECT source,
+                SELECT doc_id, source, len(tokens) AS n_all,
                        tokens[greatest(1, len(tokens) - 511):] AS tk
                 FROM read_parquet('{_SEQ_GLOB}')
                 WHERE len(list_filter(tokens, x -> x = -1)) = 0
-            ), per AS (
-                SELECT source,
-                       len(tk) AS n,
+            ), lst AS (
+                SELECT doc_id,
                        list_aggregate(tk, 'median') AS med,
                        len(list_filter(generate_series(2, len(tk) - 1),
                            i -> (CAST(tk[i] AS BIGINT) - tk[i-1])
@@ -1475,11 +1503,102 @@ def oracle_sql() -> dict[str, str]:
                                 != (tk[i-1] <= list_aggregate(tk, 'median'))))
                            * 1.0 / (len(tk) - 1) AS cp
                 FROM docs
+            ), elems AS (
+                SELECT doc_id, generate_subscripts(tk, 1) AS i,
+                       CAST(unnest(tk) AS BIGINT) AS t
+                FROM docs
+            ), stats AS (
+                SELECT doc_id, COUNT(*) AS n, SUM(t) AS s,
+                       CAST(MIN(t) AS DOUBLE) AS lo, CAST(MAX(t) AS DOUBLE) AS hi
+                FROM elems GROUP BY doc_id
+            ), binned AS (
+                SELECT e.doc_id, e.i,
+                       CASE WHEN st.hi = st.lo THEN 1 ELSE
+                         1 + (CAST(e.t AS DOUBLE) >= 1 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 2 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 3 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 4 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 5 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 6 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 7 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 8 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 9 * ((st.hi - st.lo)/10) + st.lo)::INT
+                       END AS b
+                FROM elems e JOIN stats st USING (doc_id)
+            ), prefix AS (
+                SELECT doc_id, i, t,
+                       SUM(t)   OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps,
+                       SUM(t*t) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps2
+                FROM elems
+            ), step AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN i >= 3 AND
+                            CAST(t*(i-1) - ps AS HUGEINT) * CAST(t*(i-1) - ps AS HUGEINT)
+                                * CAST(i-2 AS HUGEINT)
+                              > 4 * CAST(i-1 AS HUGEINT)
+                                  * (CAST(ps2 AS HUGEINT)*CAST(i-1 AS HUGEINT)
+                                     - CAST(ps AS HUGEINT)*CAST(ps AS HUGEINT))
+                            THEN 1 ELSE 0 END) AS n_step,
+                       SUM(CASE WHEN i >= 3 THEN 1 ELSE 0 END) AS n_den
+                FROM prefix GROUP BY doc_id
+            ), bm AS (
+                SELECT e.doc_id,
+                       SUM((e.t * st.n >= st.s)::INT) * 1.0 / ANY_VALUE(st.n) AS v
+                FROM elems e JOIN stats st USING (doc_id) GROUP BY e.doc_id
+            ), chg AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN chgd THEN i END) AS max_i,
+                       SUM(CASE WHEN chgd THEN 1 ELSE 0 END) AS n_chg
+                FROM (SELECT doc_id, i,
+                             b != lag(b) OVER (PARTITION BY doc_id ORDER BY i) AS chgd
+                      FROM binned)
+                GROUP BY doc_id
+            ), histd AS (
+                SELECT h.doc_id,
+                       CAST(h.c AS DOUBLE)
+                         / ((CASE WHEN h.b = 10 THEN st.hi
+                                  ELSE h.b * ((st.hi - st.lo)/10) + st.lo END)
+                            - (CASE WHEN h.b = 1 THEN st.lo
+                                    ELSE (h.b - 1) * ((st.hi - st.lo)/10) + st.lo END))
+                         / st.n AS dens
+                FROM (SELECT doc_id, b, COUNT(*) AS c FROM binned GROUP BY doc_id, b) h
+                JOIN stats st USING (doc_id)
+            ), ent AS (
+                SELECT doc_id,
+                       ROUND(-SUM(CASE WHEN p > 0 THEN p * ln(p) END)
+                             / ln(2) / log2(10.0), 6) AS he
+                FROM (SELECT doc_id, dens / SUM(dens) OVER (PARTITION BY doc_id) AS p
+                      FROM histd)
+                GROUP BY doc_id
+            ), per AS (
+                SELECT d.source, l.tp_mean, l.cp,
+                       CAST(d.n_all AS DOUBLE) AS ln_v,
+                       (CAST(d.tk[len(d.tk)] AS BIGINT) - d.tk[1]) * 1.0 / (st.n - 1) AS dm,
+                       bm.v AS bm_v,
+                       sp.n_step * 1.0 / sp.n_den AS st_v,
+                       (c.max_i - 1) * 1.0 / c.n_chg AS fl_v,
+                       en.he AS he_v
+                FROM docs d
+                JOIN lst l USING (doc_id)
+                JOIN stats st USING (doc_id)
+                JOIN step sp USING (doc_id)
+                JOIN bm USING (doc_id)
+                JOIN chg c USING (doc_id)
+                JOIN ent en USING (doc_id)
+                WHERE c.n_chg >= 1
             )
             SELECT source,
                    COUNT(*) AS n_docs,
                    ROUND(SUM(tp_mean) / COUNT(*), 6) AS avg_turning_frac,
-                   ROUND(SUM(cp) / COUNT(*), 6) AS avg_cp_frac
+                   ROUND(SUM(cp) / COUNT(*), 6) AS avg_cp_frac,
+                   ROUND(SUM(ln_v) / COUNT(*), 6) AS avg_length,
+                   ROUND(SUM(dm) / COUNT(*), 6) AS avg_diff_mean,
+                   ROUND(SUM(bm_v) / COUNT(*), 6) AS avg_bin_frac,
+                   ROUND(SUM(st_v) / COUNT(*), 6) AS avg_step_frac,
+                   ROUND(SUM(fl_v) / COUNT(*), 6) AS avg_fs_len,
+                   ROUND(SUM(he_v) / COUNT(*), 4) AS avg_hist_ent
             FROM per
             GROUP BY source
             ORDER BY source
