@@ -116,3 +116,50 @@ def test_rollup_stage_fuzz_roundtrip(lengths, seed):
         dec = decode_tier_row(raw[f"f{i}"])
         assert np.array_equal(dec["tokens"], t.astype(np.int64))
         assert dec["var"].size == raw[f"f{i}"]["n_windows"]
+
+
+def test_buffer_reuse_bitwise_parity():
+    """The out=/scratch= buffer-reuse paths (gap_fill, window sketches,
+    merge_adjacent, RollupStage instance reuse across batches) are bitwise
+    identical to allocate-fresh computation — the reuse knobs must never
+    change a single ulp of tier output."""
+    import pyarrow as pa
+
+    from ts_pymfe_ray.functions.gapfill import gap_fill
+    from ts_pymfe_ray.stages.rollup import RollupStage
+
+    rng = np.random.default_rng(11)
+    # function-level parity, dirty buffers on purpose
+    for n in (1, 63, 64, 65, 640, 1931):
+        tok = rng.integers(-1, 50000, size=n).astype(np.int32)
+        xbuf = np.full(4096, 1e300)
+        scratch = np.full((2, 4096), -1e300)
+        x_fresh = gap_fill(tok)
+        x_buf = gap_fill(tok, out=xbuf[:n])
+        assert np.array_equal(x_fresh, x_buf)
+        fresh = sk.compute_window_sketches(x_fresh, 64)
+        outbuf = np.full((fresh.shape[0], sk.N_FIELDS), 7.7)
+        reused = sk.compute_window_sketches(x_buf, 64, out=outbuf, scratch=scratch)
+        assert fresh.tobytes() == reused.tobytes()
+        m_fresh = sk.merge_adjacent(fresh, 10)
+        mbuf = np.full((m_fresh.shape[0], sk.N_FIELDS), -3.3)
+        m_reused = sk.merge_adjacent(reused, 10, out=mbuf, scratch=scratch[1])
+        assert m_fresh.tobytes() == m_reused.tobytes()
+
+    # stage-level parity: ONE instance over several differently-shaped
+    # batches (buffers grow and are reused dirty) == fresh instance each
+    def mk(nrows, seed):
+        r = np.random.default_rng(seed)
+        toks = [r.integers(-1, 50000, size=int(r.integers(0, 2500))).astype(np.int32)
+                for _ in range(nrows)]
+        return pa.table({
+            "doc_id": [f"p{seed}-{i}" for i in range(nrows)],
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array([t.size for t in toks], pa.int32()),
+            "source": ["web"] * nrows,
+        })
+
+    reused_stage = RollupStage()
+    for seed, nrows in ((1, 30), (2, 7), (3, 45)):
+        batch = mk(nrows, seed)
+        assert reused_stage(batch).equals(RollupStage()(batch))

@@ -24,20 +24,33 @@ import numpy as np
 SENTINEL = -1
 
 
-def gap_fill(tokens: np.ndarray, sentinel: int = SENTINEL) -> np.ndarray:
+def gap_fill(tokens: np.ndarray, sentinel: int = SENTINEL,
+             out: np.ndarray | None = None) -> np.ndarray:
     """Return a float64 copy of ``tokens`` with sentinel gaps filled.
 
     Vectorized; rows without gaps take a fast path (just a dtype cast).
+    ``out`` (same length, float64) lets hot loops reuse a cache-resident
+    buffer instead of allocating per row; values are bitwise-identical.
     """
     x = np.asarray(tokens)
     mask = x == sentinel
     if not mask.any():
-        return x.astype(np.float64)
+        if out is None:
+            return x.astype(np.float64)
+        out[...] = x
+        return out
     valid = ~mask
     if not valid.any():
-        return np.zeros(x.size, dtype=np.float64)
+        if out is None:
+            return np.zeros(x.size, dtype=np.float64)
+        out[...] = 0.0
+        return out
     idx = np.arange(x.size)
-    return np.interp(idx, idx[valid], x[valid].astype(np.float64))
+    filled = np.interp(idx, idx[valid], x[valid].astype(np.float64))
+    if out is None:
+        return filled
+    out[...] = filled
+    return out
 
 
 def gap_fill_batch(token_arrays: list[np.ndarray], sentinel: int = SENTINEL) -> list[np.ndarray]:

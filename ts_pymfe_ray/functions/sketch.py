@@ -28,34 +28,48 @@ N_FIELDS = len(FIELDS)
 _I = {f: i for i, f in enumerate(FIELDS)}
 
 
-def compute_window_sketches(x: np.ndarray, bucket: int) -> np.ndarray:
+def compute_window_sketches(x: np.ndarray, bucket: int,
+                            out: np.ndarray | None = None,
+                            scratch: np.ndarray | None = None) -> np.ndarray:
     """Sketch every non-overlapping ``bucket``-sized window of ``x``.
 
     The final window may be ragged (shorter than ``bucket``).  Returns a
     ``(num_windows, N_FIELDS)`` float64 matrix.  Vectorized via
     ``np.add.reduceat`` — O(n) with no Python loop.
+
+    ``out`` writes into a preallocated (num_windows, N_FIELDS) view (the
+    batch-wide sketch matrix); ``scratch`` is a (>=2, >=n) float64 buffer
+    for the power/product temporaries.  Both are bitwise-neutral — hot
+    loops use them to stay in cache-resident memory instead of paying
+    this container's pathological fresh-allocation first-touch cost.
     """
     x = np.asarray(x, dtype=np.float64)
     n = x.size
     if n == 0:
-        return np.empty((0, N_FIELDS), dtype=np.float64)
+        return out if out is not None else np.empty((0, N_FIELDS), dtype=np.float64)
     starts = np.arange(0, n, bucket)
     num_w = starts.size
-    out = np.empty((num_w, N_FIELDS), dtype=np.float64)
+    if out is None:
+        out = np.empty((num_w, N_FIELDS), dtype=np.float64)
+    if scratch is not None and scratch.shape[1] >= n:
+        xp, prod = scratch[0, :n], scratch[1, :n]
+    else:
+        xp, prod = np.empty(n, dtype=np.float64), np.empty(n, dtype=np.float64)
 
     ends = np.minimum(starts + bucket, n)
     counts = (ends - starts).astype(np.float64)
     out[:, _I["n"]] = counts
     out[:, _I["s1"]] = np.add.reduceat(x, starts)
-    x2 = x * x
-    out[:, _I["s2"]] = np.add.reduceat(x2, starts)
-    out[:, _I["s3"]] = np.add.reduceat(x2 * x, starts)
-    out[:, _I["s4"]] = np.add.reduceat(x2 * x2, starts)
+    np.multiply(x, x, out=xp)                              # x^2
+    out[:, _I["s2"]] = np.add.reduceat(xp, starts)
+    np.multiply(xp, xp, out=prod)                          # x^4
+    out[:, _I["s4"]] = np.add.reduceat(prod, starts)
+    np.multiply(xp, x, out=xp)                             # x^3
+    out[:, _I["s3"]] = np.add.reduceat(xp, starts)
 
     if n > 1:
         # prod[i] = x_i * x_{i+1}; pad one zero so every window start indexes
         # validly and the last segment covers exactly its in-window pairs.
-        prod = np.empty(n, dtype=np.float64)
         np.multiply(x[:-1], x[1:], out=prod[:-1])
         prod[-1] = 0.0
         c1 = np.add.reduceat(prod, starts)
@@ -74,18 +88,24 @@ def compute_window_sketches(x: np.ndarray, bucket: int) -> np.ndarray:
     return out
 
 
-def merge_adjacent(sketches: np.ndarray, group: int) -> np.ndarray:
+def merge_adjacent(sketches: np.ndarray, group: int,
+                   out: np.ndarray | None = None,
+                   scratch: np.ndarray | None = None) -> np.ndarray:
     """Merge consecutive runs of ``group`` adjacent sketches into one each.
 
     ``sketches`` is ``(num_windows, N_FIELDS)`` in series order.  Exact: the
     result equals :func:`compute_window_sketches` run at the coarser bucket.
+    ``out`` (a (ceil(m/group), N_FIELDS) view) and ``scratch`` (>= m floats,
+    for the boundary cross terms) are bitwise-neutral buffer-reuse knobs,
+    same contract as :func:`compute_window_sketches`.
     """
     m = sketches.shape[0]
     if m == 0:
-        return sketches.copy()
+        return sketches.copy() if out is None else out
     starts = np.arange(0, m, group)
     ends = np.minimum(starts + group, m)
-    out = np.empty((starts.size, N_FIELDS), dtype=np.float64)
+    if out is None:
+        out = np.empty((starts.size, N_FIELDS), dtype=np.float64)
     for f in ("n", "s1", "s2", "s3", "s4"):
         out[:, _I[f]] = np.add.reduceat(sketches[:, _I[f]], starts)
     # comoment: sum of parts + boundary cross terms last(w) * first(w+1)
@@ -94,7 +114,8 @@ def merge_adjacent(sketches: np.ndarray, group: int) -> np.ndarray:
         # cross[i] joins window i and i+1; interior joins of merged run k are
         # indices [starts[k], ends[k]-2].  Pad one zero (same trick as in
         # compute_window_sketches) so reduceat segments line up exactly.
-        cross = np.empty(m, dtype=np.float64)
+        cross = (scratch[:m] if scratch is not None and scratch.size >= m
+                 else np.empty(m, dtype=np.float64))
         np.multiply(sketches[:-1, _I["last"]], sketches[1:, _I["first"]], out=cross[:-1])
         cross[-1] = 0.0
         csum = np.add.reduceat(cross, starts)

@@ -75,11 +75,35 @@ def num_partitions_default() -> int:
 
 
 class RollupStage:
-    """Per-batch tier-ladder computation (stateless; used as a task)."""
+    """Per-batch tier-ladder computation.
+
+    Holds reusable scratch buffers (sketch matrix, gap-fill row buffer,
+    power-sum temporaries, stream-blob staging) that grow to the batch
+    working set once and then stay cache-resident: fresh large numpy
+    allocations first-touch pathologically slowly on this box, and the
+    round-3 profile showed the 8->32 scaling knee is memory-bandwidth —
+    every eliminated cold page is shuffle-free bandwidth back.  All reuse
+    paths are bitwise-identical to the allocate-fresh versions
+    (parity-tested in tests/test_sketch.py)."""
 
     def __init__(self, num_parts: int = 64, store_tokens: bool = True):
         self.num_parts = num_parts
         self.store_tokens = store_tokens
+        self._big = np.empty((0, sk.N_FIELDS), dtype=np.float64)
+        self._xbuf = np.empty(0, dtype=np.float64)
+        self._scratch = np.empty((2, 0), dtype=np.float64)
+        self._ws = np.empty(0, dtype=np.float64)
+
+    def _buffers(self, n_windows: int, max_n: int, ws_len: int):
+        """Grow (with headroom) and hand out the per-batch scratch views."""
+        if self._big.shape[0] < n_windows:
+            self._big = np.empty((n_windows + (n_windows >> 2), sk.N_FIELDS))
+        if self._xbuf.size < max_n:
+            self._xbuf = np.empty(max_n + (max_n >> 2))
+            self._scratch = np.empty((2, self._xbuf.size))
+        if self._ws.size < ws_len:
+            self._ws = np.empty(ws_len + (ws_len >> 2))
+        return self._big, self._xbuf, self._scratch, self._ws
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         views, _, _ = tokens_views(batch)
@@ -97,37 +121,47 @@ class RollupStage:
             else np.zeros(n_in, dtype=np.int64)
         )
 
-        # pass 1: per-row sketches (row boundaries force per-row calls);
-        # collect every (row, tier) sketch matrix for ONE batched
-        # derive_features call — the per-window statistics are then computed
-        # by ~10 numpy kernels per BATCH instead of per row.
-        per_row: list[tuple[int, str, np.ndarray]] = []
+        # pass 1: per-row sketches (row boundaries force per-row calls),
+        # written straight into ONE preallocated batch-wide sketch matrix
+        # (layout: row0 raw | row0 10x | row0 100x | row1 raw | ...) for a
+        # single batched derive_features call — the per-window statistics
+        # are then computed by ~10 numpy kernels per BATCH instead of per
+        # row, and no per-row temporary is ever allocated.
+        lens = np.fromiter((v.size for v in views), dtype=np.int64, count=n_in)
+        nw_raw = -(-lens // RAW_BUCKET)
+        nws = np.empty(3 * n_in, dtype=np.int64)
+        nws[0::3] = nw_raw
+        nws[1::3] = -(-nw_raw // 10)
+        nws[2::3] = -(-nws[1::3] // 10)
+        sk_off = np.concatenate([[0], np.cumsum(nws)])
+        W = int(sk_off[-1])
+        ns = len(STREAMS)
+        max_n = int(lens.max()) if n_in else 0
+        bigbuf, xbuf, scratch, wsbuf = self._buffers(W, max_n, ns * W)
+        big = bigbuf[:W]
         for i, tok in enumerate(views):
-            x = gap_fill(tok)
-            raw = sk.compute_window_sketches(x, RAW_BUCKET)
-            t10 = sk.merge_adjacent(raw, 10)
-            t100 = sk.merge_adjacent(t10, 10)
-            per_row.append((i, "raw", raw))
-            per_row.append((i, "10x", t10))
-            per_row.append((i, "100x", t100))
-        big = np.vstack([m for _, _, m in per_row]) if per_row else np.empty((0, sk.N_FIELDS))
+            o = 3 * i
+            x = gap_fill(tok, out=xbuf[: tok.size])
+            raw = sk.compute_window_sketches(
+                x, RAW_BUCKET, out=big[sk_off[o] : sk_off[o + 1]], scratch=scratch)
+            t10 = sk.merge_adjacent(
+                raw, 10, out=big[sk_off[o + 1] : sk_off[o + 2]], scratch=scratch[0])
+            sk.merge_adjacent(
+                t10, 10, out=big[sk_off[o + 2] : sk_off[o + 3]], scratch=scratch[0])
         feats = sk.derive_features(big)
-        stream_mat = np.column_stack([feats[s] for s in STREAMS]) if big.size else np.empty((0, len(STREAMS)))
+        stream_mat = np.column_stack([feats[s] for s in STREAMS]) if W else np.empty((0, ns))
 
         # pass 2 is fully batched: every per-(row, tier) quantity is built
         # as one numpy array, and ALL Gorilla streams of the batch are
         # encoded in one *_many call each (bitwise-identical per-row
         # output; round 2 paid ~65% of stage time in tens of thousands of
         # tiny per-row codec calls)
-        R = len(per_row)
-        idxs = np.fromiter((i for i, _, _ in per_row), dtype=np.int64, count=R)
-        nws = np.fromiter((m.shape[0] for _, _, m in per_row), dtype=np.int64, count=R)
+        R = 3 * n_in
+        idxs = np.repeat(np.arange(n_in, dtype=np.int64), 3)
         factors = np.tile([1, 10, 100], n_in)
-        sk_off = np.concatenate([[0], np.cumsum(nws)])
 
         # win_streams blobs: streams concatenated column-major per tier row
-        ns = len(STREAMS)
-        ws_flat = np.empty(ns * int(sk_off[-1]), dtype=np.float64)
+        ws_flat = wsbuf[: ns * W]
         for r in range(R):
             ws_flat[ns * sk_off[r] : ns * sk_off[r + 1]] = (
                 stream_mat[sk_off[r] : sk_off[r + 1]].T.ravel()
