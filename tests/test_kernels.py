@@ -238,3 +238,55 @@ def test_golden_heavy_feature_values_stable():
                 assert np.isclose(v, gval, rtol=1e-7, atol=1e-9), (
                     f"{doc_id}/{name}: {v} != golden {gval}"
                 )
+
+
+def test_stacked_precompute_bitwise_parity():
+    """The batched same-length precompute stacks (SuperSmoother trend,
+    z-score, moving power prefixes) and the FeatureStage seeding path are
+    bitwise-identical to the lazy per-row computation — stacking must never
+    change a single ulp (the goldens pin the lazy values)."""
+    import pyarrow as pa
+
+    from ts_pymfe_ray.functions import decompose as dec
+    from ts_pymfe_ray.functions import stats as st
+    from ts_pymfe_ray.functions.kernels_local import _power_prefixes, _power_prefixes_stack
+    from ts_pymfe_ray.registry import DEFAULT_ANALYSIS_CAP, evaluate_row, kernels_of
+    from ts_pymfe_ray.functions.gapfill import gap_fill
+    from ts_pymfe_ray.stages.features import FeatureStage
+
+    rng = np.random.default_rng(17)
+    for R, n in ((1, 5), (3, 7), (8, 64), (5, 511), (4, 512)):
+        Y = rng.normal(0, 4, (R, n)) + np.sin(np.arange(n) / 9.0)
+        Y[0, :] = Y[0, 0]  # one constant row (sd == 0 branch)
+        S = dec.supersmoother_stack(Y)
+        Z = st.standardize_stack(Y)
+        P = _power_prefixes_stack(Z)
+        for i in range(R):
+            assert np.array_equal(S[i], dec.supersmoother(Y[i]))
+            assert np.array_equal(Z[i], st.standardize_ts(Y[i]))
+            assert np.array_equal(P[i], _power_prefixes(Z[i]))
+
+    # stage-level: seeded FeatureStage == per-row evaluate_row, mixed
+    # lengths (capped 512 group + ragged short rows), medium pack
+    toks = []
+    for i in range(14):
+        m = int(rng.integers(4, 2000))
+        t = rng.integers(0, 50000, size=m).astype(np.int32)
+        t[rng.random(m) < 0.03] = -1
+        toks.append(t)
+    batch = pa.table({
+        "doc_id": [f"sp{i}" for i in range(len(toks))],
+        "tokens": pa.array(list(toks), pa.list_(pa.int32())),
+        "n_tok": pa.array([t.size for t in toks], pa.int32()),
+        "source": ["web"] * len(toks),
+    })
+    ks = kernels_of(max_cost="medium")
+    out = FeatureStage(max_cost="medium")(batch)
+    for i, t in enumerate(toks):
+        vals = evaluate_row(gap_fill(t), f"sp{i}", ks, cap=DEFAULT_ANALYSIS_CAP)
+        for k, v in vals.items():
+            got = out.column(k)[i].as_py()
+            if np.isnan(v):
+                assert got is None or np.isnan(got), (i, k, v, got)
+            else:
+                assert got == v, (i, k, v, got)

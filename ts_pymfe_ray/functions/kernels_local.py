@@ -52,6 +52,16 @@ def _power_prefixes(x: np.ndarray) -> np.ndarray:
     return P
 
 
+def _power_prefixes_stack(X: np.ndarray) -> np.ndarray:
+    """Batched :func:`_power_prefixes` for an (R, n) stack -> (R, 4, n+1);
+    bitwise identical per row (cumsum over the last axis is per-row)."""
+    R, n = X.shape
+    A = np.stack([X, X * X, X**3, X**4], axis=1)
+    P = np.zeros((R, 4, n + 1))
+    np.cumsum(A, axis=2, out=P[:, :, 1:])
+    return P
+
+
 def _psums(P: np.ndarray, w: int, power: int) -> np.ndarray:
     c = P[power - 1]
     return c[w:] - c[:-w]

@@ -20,6 +20,21 @@ def standardize_ts(ts: np.ndarray) -> np.ndarray:
     return (ts - ts.mean()) / sd
 
 
+def standardize_stack(Y: np.ndarray) -> np.ndarray:
+    """Row-wise :func:`standardize_ts` for an (R, n) stack — bitwise
+    identical per row (axis-1 reductions and scalar broadcasts are
+    per-row; parity gate in tests/test_kernels.py)."""
+    Y = np.asarray(Y, dtype=np.float64)
+    mu = Y.mean(axis=1, keepdims=True)
+    sd = Y.std(axis=1, keepdims=True)
+    with np.errstate(all="ignore"):
+        out = (Y - mu) / sd
+    bad = (sd[:, 0] == 0) | ~np.isfinite(sd[:, 0])
+    if bad.any():
+        out[bad] = 0.0
+    return out
+
+
 def acf(ts: np.ndarray, nlags: int | None = None, adjusted: bool = True) -> np.ndarray:
     """Autocorrelation function via FFT, statsmodels-compatible.
 

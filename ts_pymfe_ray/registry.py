@@ -206,10 +206,13 @@ def feature_columns(kernels: list[FeatureKernel]) -> list[str]:
     return sorted(cols)
 
 
-def evaluate_row(ts: np.ndarray, doc_id: str, kernels: list[FeatureKernel], cap: int = DEFAULT_ANALYSIS_CAP) -> dict[str, float]:
+def evaluate_row(ts: np.ndarray, doc_id: str, kernels: list[FeatureKernel], cap: int = DEFAULT_ANALYSIS_CAP, ctx: "SeriesCtx | None" = None) -> dict[str, float]:
     """Run every kernel on one series; exceptions -> NaN (reference
-    _internal.py:204-213)."""
-    ctx = SeriesCtx(ts, doc_id=doc_id, cap=cap)
+    _internal.py:204-213).  ``ctx`` lets the feature stage pass a
+    pre-seeded SeriesCtx (batched same-length precomputes); ``ts`` is
+    ignored when given."""
+    if ctx is None:
+        ctx = SeriesCtx(ts, doc_id=doc_id, cap=cap)
     out: dict[str, float] = {}
     # ONE errstate scope for the whole row: entering/exiting a numpy
     # errstate per kernel costs ~5us x 37 kernels; the outer scope covers

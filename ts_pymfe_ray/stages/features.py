@@ -14,15 +14,56 @@ import numpy as np
 import pyarrow as pa
 
 import ts_pymfe_ray.features  # noqa: F401  (populates the registry)
+from ts_pymfe_ray.functions import decompose as _dec
 from ts_pymfe_ray.functions.gapfill import gap_fill
+from ts_pymfe_ray.functions.kernels_local import _power_prefixes_stack
+from ts_pymfe_ray.functions.stats import standardize_stack
 from ts_pymfe_ray.registry import (
     DEFAULT_ANALYSIS_CAP,
+    SeriesCtx,
     evaluate_row,
     feature_columns,
     kernels_of,
 )
 from ts_pymfe_ray.stages.rollup import tokens_views
 from ts_pymfe_ray.synth import stable_hash64
+
+
+def preseed_stacked(ctxs: list[SeriesCtx], kernels) -> None:
+    """Batch the shared SeriesCtx precomputes across same-length rows.
+
+    The analysis cap (DEFAULT_ANALYSIS_CAP) makes most rows exactly
+    cap-length, so the SuperSmoother trend, detrended series, z-scored
+    series and moving power prefixes can be computed as ONE (R, n) stack
+    per length group and each row's lazy cache seeded with its slice.
+    Every stacked step is a per-row cumsum or elementwise op, so seeded
+    values are bitwise-identical to the lazy per-row path (parity gate in
+    tests/test_kernels.py) — this only amortizes numpy dispatch overhead,
+    ~120 tiny kernel launches per row, across the batch.  (Per-row FFTs —
+    acf/period — stay per-row: pocketfft's stacked transforms are NOT
+    bitwise-stable vs single-row calls.)"""
+    want_mv = any(k.group == "local_stats" for k in kernels)
+    groups: dict[int, list[int]] = {}
+    for idx, c in enumerate(ctxs):
+        if c.ts.size >= 5:
+            groups.setdefault(c.ts.size, []).append(idx)
+    for n, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        Y = np.empty((len(idxs), n))
+        for r, idx in enumerate(idxs):
+            Y[r] = ctxs[idx].ts
+        trend = _dec.supersmoother_stack(Y)
+        det = Y - trend
+        Z = standardize_stack(Y)
+        P = _power_prefixes_stack(Z) if want_mv else None
+        for r, idx in enumerate(idxs):
+            cache = ctxs[idx]._cache
+            cache["ss_trend"] = trend[r]
+            cache["ts_detrended_ss"] = det[r]
+            cache["ts_scaled"] = Z[r]
+            if P is not None:
+                cache["mvpow"] = P[r]
 
 
 class FeatureStage:
@@ -57,10 +98,13 @@ class FeatureStage:
         n = len(views)
         data = {c: np.full(n, np.nan) for c in self.columns}
         part_ids = np.empty(n, dtype=np.int32)
+        ctxs = []
         for i, tok in enumerate(views):
             part_ids[i] = stable_hash64(doc_ids[i]) % self.num_parts
-            x = gap_fill(tok)
-            vals = evaluate_row(x, doc_ids[i], self.kernels, cap=self.cap)
+            ctxs.append(SeriesCtx(gap_fill(tok), doc_id=doc_ids[i], cap=self.cap))
+        preseed_stacked(ctxs, self.kernels)
+        for i, ctx in enumerate(ctxs):
+            vals = evaluate_row(ctx.ts_all, doc_ids[i], self.kernels, cap=self.cap, ctx=ctx)
             for k, v in vals.items():
                 data[k][i] = v
         cols = {
