@@ -63,8 +63,10 @@ def _power_prefixes_stack(X: np.ndarray) -> np.ndarray:
 
 
 def _psums(P: np.ndarray, w: int, power: int) -> np.ndarray:
-    c = P[power - 1]
-    return c[w:] - c[:-w]
+    # dimension-agnostic: P is (4, n+1) per row or (R, 4, n+1) stacked;
+    # slicing along the last axis keeps every op per-row (bitwise-equal)
+    c = P[..., power - 1, :]
+    return c[..., w:] - c[..., :-w]
 
 
 def _window_of(c: SeriesCtx) -> int:
@@ -111,16 +113,19 @@ def moving_kurtosis(s: np.ndarray, w: int, P: np.ndarray | None = None) -> np.nd
 def moving_acf1(s: np.ndarray, w: int, P: np.ndarray | None = None, adjusted: bool = True) -> np.ndarray:
     """Rolling lag-1 ACF, statsmodels semantics per window
     (local_stats.py:1031: rolling apply of ft_acf(nlags=1, adjusted)):
-    acf1 = (sum_pairs/(w-1)) / (var_pop) with var_pop = ss/w."""
+    acf1 = (sum_pairs/(w-1)) / (var_pop) with var_pop = ss/w.
+    Dimension-agnostic (1-D row or (R, n) stack), per-row bitwise."""
     s1 = _psums(P, w, 1) if P is not None else _sliding_sums(s, w)
     s2 = _psums(P, w, 2) if P is not None else _sliding_sums(s, w, 2)
-    prod = s[:-1] * s[1:]
-    cp = np.concatenate([[0.0], np.cumsum(prod)])
-    c1 = cp[w - 1 :] - cp[: -(w - 1)]  # sum of w-1 in-window pairs
-    c1 = c1[: s1.size]
+    prod = s[..., :-1] * s[..., 1:]
+    cp = np.zeros(prod.shape[:-1] + (prod.shape[-1] + 1,))
+    np.cumsum(prod, axis=-1, out=cp[..., 1:])
+    c1 = cp[..., w - 1 :] - cp[..., : -(w - 1)]  # sum of w-1 in-window pairs
+    nw = s1.shape[-1]
+    c1 = c1[..., :nw]
     mu = s1 / w
-    first = s[: s1.size]
-    last = s[w - 1 :]
+    first = s[..., :nw]
+    last = s[..., w - 1 :]
     num = c1 - mu * (2 * s1 - first - last) + (w - 1) * mu**2
     den = s2 - w * mu**2
     with np.errstate(all="ignore"):
@@ -135,10 +140,12 @@ def moving_gmean(s: np.ndarray, w: int, P: np.ndarray | None = None) -> np.ndarr
     non-positive value (log-domain), matching scipy on z-scored input."""
     with np.errstate(all="ignore"):
         logs = np.where(s > 0, np.log(np.maximum(s, 1e-300)), np.nan)
-    c = np.concatenate([[0.0], np.nancumsum(logs)])
-    sums = c[w:] - c[:-w]
-    bad = np.concatenate([[0], np.cumsum(~np.isfinite(logs) | np.isnan(logs))])
-    nbad = bad[w:] - bad[:-w]
+    c = np.zeros(logs.shape[:-1] + (logs.shape[-1] + 1,))
+    np.nancumsum(logs, axis=-1, out=c[..., 1:])
+    sums = c[..., w:] - c[..., :-w]
+    bad = np.zeros(logs.shape[:-1] + (logs.shape[-1] + 1,))
+    np.cumsum(~np.isfinite(logs) | np.isnan(logs), axis=-1, out=bad[..., 1:])
+    nbad = bad[..., w:] - bad[..., :-w]
     out = np.exp(sums / w)
     out[nbad > 0] = np.nan
     return out
@@ -168,7 +175,10 @@ def _mk_moving(name: str, stat_fn, shift: bool):
     return fn
 
 
-for _name, _fn, _ref in (
+# (registered name, stat fn, reference line); the stat fns are
+# dimension-agnostic so the feature stage can seed `mv_{name}_{w}` from an
+# (R, n) stack (stages/features.py::preseed_stacked)
+MOVING_BASE_STATS = (
     ("moving_avg", moving_mean, "local_stats.py:256"),
     ("moving_var", moving_var, "local_stats.py:388"),
     ("moving_sd", lambda s, w, P=None: np.sqrt(moving_var(s, w, P)), "local_stats.py:543"),
@@ -176,7 +186,9 @@ for _name, _fn, _ref in (
     ("moving_kurtosis", moving_kurtosis, "local_stats.py:849"),
     ("moving_acf", moving_acf1, "local_stats.py:1031"),
     ("moving_gmean", moving_gmean, "local_stats.py:1162"),
-):
+)
+
+for _name, _fn, _ref in MOVING_BASE_STATS:
     register(FeatureKernel(_name, "local_stats", _mk_moving(_name, _fn, False),
                            returns_array=True, ref=_ref + " (O(n) sliding sketch)"))
     register(FeatureKernel(_name + "_shift", "local_stats", _mk_moving(_name, _fn, True),

@@ -16,7 +16,11 @@ import pyarrow as pa
 import ts_pymfe_ray.features  # noqa: F401  (populates the registry)
 from ts_pymfe_ray.functions import decompose as _dec
 from ts_pymfe_ray.functions.gapfill import gap_fill
-from ts_pymfe_ray.functions.kernels_local import _power_prefixes_stack
+from ts_pymfe_ray.functions.kernels_local import (
+    MOVING_BASE_STATS,
+    _power_prefixes_stack,
+    process_window_size,
+)
 from ts_pymfe_ray.functions.stats import standardize_stack
 from ts_pymfe_ray.registry import (
     DEFAULT_ANALYSIS_CAP,
@@ -43,6 +47,13 @@ def preseed_stacked(ctxs: list[SeriesCtx], kernels) -> None:
     acf/period — stay per-row: pocketfft's stacked transforms are NOT
     bitwise-stable vs single-row calls.)"""
     want_mv = any(k.group == "local_stats" for k in kernels)
+    # which `mv_*` base stats the selected kernels actually pull (a
+    # moving_X_shift kernel reuses moving_X's cached base stat)
+    knames = {k.name for k in kernels}
+    mv_stats = [
+        (nm, fn) for nm, fn, _ in MOVING_BASE_STATS
+        if nm in knames or f"{nm}_shift" in knames
+    ]
     groups: dict[int, list[int]] = {}
     for idx, c in enumerate(ctxs):
         if c.ts.size >= 5:
@@ -57,6 +68,11 @@ def preseed_stacked(ctxs: list[SeriesCtx], kernels) -> None:
         det = Y - trend
         Z = standardize_stack(Y)
         P = _power_prefixes_stack(Z) if want_mv else None
+        w = process_window_size(n, 0.1)
+        mv_vals = []
+        if P is not None and 2 <= w <= n:
+            with np.errstate(all="ignore"):
+                mv_vals = [(f"mv_{nm}_{w}", fn(Z, w, P)) for nm, fn in mv_stats]
         for r, idx in enumerate(idxs):
             cache = ctxs[idx]._cache
             cache["ss_trend"] = trend[r]
@@ -64,6 +80,8 @@ def preseed_stacked(ctxs: list[SeriesCtx], kernels) -> None:
             cache["ts_scaled"] = Z[r]
             if P is not None:
                 cache["mvpow"] = P[r]
+            for key, V in mv_vals:
+                cache[key] = V[r]
 
 
 class FeatureStage:
