@@ -239,7 +239,9 @@ register(FeatureKernel("surprise", "info_theory", _surprise, returns_array=True,
 
 
 def _lz_complexity(c: SeriesCtx, num_bins: int = 10, normalize: bool = True) -> float:
-    ts_bin = tuple(_discretize(c.ts, num_bins))
+    # bin indices are 0..num_bins (< 256), so the byte string preserves
+    # substring identity exactly while hashing ~10x cheaper than tuples
+    ts_bin = _discretize(c.ts, num_bins).astype(np.uint8).tobytes()
     ind_start, ind_end = 0, 1
     substrings = set()
     n = len(ts_bin)
