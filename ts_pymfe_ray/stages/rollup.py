@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ts_pymfe_ray.functions import gorilla
 from ts_pymfe_ray.functions import sketch as sk
-from ts_pymfe_ray.functions.gapfill import gap_fill
+from ts_pymfe_ray.functions.gapfill import SENTINEL, gap_fill
 from ts_pymfe_ray.synth import stable_hash64
 
 RAW_BUCKET = 64
@@ -93,8 +93,10 @@ class RollupStage:
         self._xbuf = np.empty(0, dtype=np.float64)
         self._scratch = np.empty((2, 0), dtype=np.float64)
         self._ws = np.empty(0, dtype=np.float64)
+        self._tok = np.empty(0, dtype=np.int64)
+        self._gap = np.empty(0, dtype=np.float64)
 
-    def _buffers(self, n_windows: int, max_n: int, ws_len: int):
+    def _buffers(self, n_windows: int, max_n: int, ws_len: int, total: int):
         """Grow (with headroom) and hand out the per-batch scratch views."""
         if self._big.shape[0] < n_windows:
             self._big = np.empty((n_windows + (n_windows >> 2), sk.N_FIELDS))
@@ -103,10 +105,14 @@ class RollupStage:
             self._scratch = np.empty((2, self._xbuf.size))
         if self._ws.size < ws_len:
             self._ws = np.empty(ws_len + (ws_len >> 2))
-        return self._big, self._xbuf, self._scratch, self._ws
+        if self._tok.size < total:
+            self._tok = np.empty(total + (total >> 2), dtype=np.int64)
+        if self._gap.size < total + 1:
+            self._gap = np.empty(total + 1 + (total >> 2))
+        return self._big, self._xbuf, self._scratch, self._ws, self._tok, self._gap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        views, _, _ = tokens_views(batch)
+        views, t_off, t_flat = tokens_views(batch)
         doc_ids = batch.column("doc_id").to_pylist()
         sources = batch.column("source").to_pylist()
         n_in = len(views)
@@ -127,7 +133,9 @@ class RollupStage:
         # single batched derive_features call — the per-window statistics
         # are then computed by ~10 numpy kernels per BATCH instead of per
         # row, and no per-row temporary is ever allocated.
-        lens = np.fromiter((v.size for v in views), dtype=np.int64, count=n_in)
+        rel_off = (t_off - t_off[0]).astype(np.int64) if n_in else np.zeros(1, np.int64)
+        lens = np.diff(rel_off)
+        total = int(rel_off[-1])
         nw_raw = -(-lens // RAW_BUCKET)
         nws = np.empty(3 * n_in, dtype=np.int64)
         nws[0::3] = nw_raw
@@ -137,7 +145,8 @@ class RollupStage:
         W = int(sk_off[-1])
         ns = len(STREAMS)
         max_n = int(lens.max()) if n_in else 0
-        bigbuf, xbuf, scratch, wsbuf = self._buffers(W, max_n, ns * W)
+        bigbuf, xbuf, scratch, wsbuf, tokbuf, gapbuf = self._buffers(
+            W, max_n, ns * W, total)
         big = bigbuf[:W]
         for i, tok in enumerate(views):
             o = 3 * i
@@ -174,20 +183,33 @@ class RollupStage:
         wid_flat = np.repeat(base_wid, nws) + within
         wid_data, wid_off = gorilla.encode_ints_dod_many(wid_flat, sk_off, order=2)
 
-        # token streams: raw-tier rows only (nulls elsewhere)
+        # token streams: raw-tier rows only (nulls elsewhere).  The list
+        # column's child buffer is contiguous after combine_chunks, so the
+        # whole batch's tokens widen to int64 in ONE vectorized cast into
+        # the reused staging buffer (row order == flat order by
+        # construction) — no per-row astype/concatenate allocations.
         tok_valid = np.zeros(R, dtype=bool)
+        flat_slice = t_flat[t_off[0] : t_off[-1]] if n_in else t_flat[:0]
         if self.store_tokens:
             tok_valid[0::3] = True  # per_row order is (raw, 10x, 100x)
-        raw_views = [views[i].astype(np.int64) for r, i in enumerate(idxs) if tok_valid[r]]
-        tok_flat = np.concatenate(raw_views) if raw_views else np.empty(0, np.int64)
-        tok_in_off = np.concatenate([[0], np.cumsum([v.size for v in raw_views])]).astype(np.int64)
+            tok_flat = tokbuf[:total]
+            np.copyto(tok_flat, flat_slice)
+            tok_in_off = rel_off
+        else:
+            tok_flat = np.empty(0, np.int64)
+            tok_in_off = np.zeros(1, np.int64)
         tok_data, tok_off_raw = gorilla.encode_ints_dod_many(tok_flat, tok_in_off, order=1)
         tok_len = np.zeros(R, dtype=np.int64)
         tok_len[tok_valid] = np.diff(tok_off_raw)
         tok_off = np.concatenate([[0], np.cumsum(tok_len)])
 
-        n_tok_per = np.fromiter((v.size for v in views), dtype=np.int64, count=n_in)
-        n_gap_per = np.fromiter(((v == -1).sum() for v in views), dtype=np.int64, count=n_in)
+        n_tok_per = lens
+        # gap counts: one vectorized pass over the flat tokens; the float
+        # prefix sum is exact (counts < 2^53) and empty rows read 0
+        gapbuf[0] = 0.0
+        np.equal(flat_slice, SENTINEL, out=gapbuf[1 : total + 1], casting="unsafe")
+        np.cumsum(gapbuf[: total + 1], out=gapbuf[: total + 1])
+        n_gap_per = (gapbuf[rel_off[1:]] - gapbuf[rel_off[:-1]]).astype(np.int64)
         part_per = np.fromiter(
             (stable_hash64(d) % self.num_parts for d in doc_ids), dtype=np.int64, count=n_in
         )
