@@ -256,11 +256,15 @@ def _bucket_pair_indices(n: int, bucket_cap: int | None):
     """Candidate-pair index arrays for one LSH bucket of n SORTED member
     ids.  Uncapped: all O(n^2) pairs (the SQL-oracled exact mode).  Hot
     buckets (> bucket_cap members) STAR-PAIR instead — every member pairs
-    with the bucket's min id.  The pair graph's connected components are
-    unchanged (members stay linked through the hub), so downstream
-    clustering is identical, but a degenerate corpus (1e6 identical
-    boilerplate docs sharing every band key) emits 1e6 - 1 pair rows
-    instead of ~5e11 before the pair-dedup aggregate."""
+    with the bucket's min id.  The CANDIDATE graph's connected components
+    are unchanged (members stay linked through the hub), so for a
+    degenerate bucket of near-identical docs the verified clusters are
+    identical while 1e6 boilerplate copies emit 1e6 - 1 pair rows instead
+    of ~5e11.  Caveat (standard for this knob, like df_cap): when a hot
+    bucket mixes DISSIMILAR docs, a pair that fails verification against
+    the hub is not retried against other members, so capped mode is an
+    approximation there — None (default) keeps the exact SQL-oracled
+    all-pairs mode."""
     if n < 2:
         z = np.empty(0, np.int64)
         return z, z
@@ -757,6 +761,10 @@ def q_dedup_clusters_lp(sf_dir: str, threshold: float = 0.6,
             .groupby(["u", "v"])
             .aggregate(Count())
             .drop_columns(["count()"])
+            # materialize the per-round state: Datasets are lazy plans, so
+            # without this round i would re-execute every earlier round's
+            # shuffles (O(iters^2) work) each time the checksum runs
+            .materialize()
         )
         stats = edges.aggregate(Count(), Sum("u"), Sum("v"))
         sig = (stats["count()"], stats["sum(u)"], stats["sum(v)"])
