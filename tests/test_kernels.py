@@ -266,6 +266,15 @@ def test_stacked_precompute_bitwise_parity():
             assert np.array_equal(Z[i], st.standardize_ts(Y[i]))
             assert np.array_equal(P[i], _power_prefixes(Z[i]))
 
+    # ragged (mixed-length padded stack with per-row window sizes) ==
+    # per-row SuperSmoother, bitwise — covers the singleton-length rows
+    # the same-length stacks can't batch, plus the n<5 mean-fill edge
+    rows = [rng.normal(0, 3, size=n) for n in
+            (0, 1, 2, 3, 4, 5, 6, 17, 64, 100, 101, 233, 511, 512, 512, 37)]
+    rows[13] = np.full(512, 2.5)  # constant row (var<=1e-12 branch)
+    for o, y in zip(dec.supersmoother_ragged(rows), rows):
+        assert np.array_equal(o, dec.supersmoother(y))
+
     # stage-level: seeded FeatureStage == per-row evaluate_row, mixed
     # lengths (capped 512 group + ragged short rows), medium pack
     toks = []

@@ -16,3 +16,8 @@ file:line in docstrings), re-expressed Ray-Data-first:
 """
 
 __version__ = "0.1.0"
+
+# Every Ray worker that deserializes a stage callable imports this package;
+# pulling the compat shims in here (malloc tuning + fsspec probe stub)
+# guarantees they run in workers too, not only on the driver.
+import ts_pymfe_ray._compat  # noqa: E402,F401

@@ -16,6 +16,31 @@ import sys
 import types
 
 
+def tune_malloc() -> None:
+    """Keep large numpy temporaries on the heap instead of per-allocation
+    mmaps.
+
+    glibc malloc serves any allocation over ~128 KiB with a fresh mmap and
+    munmaps it on free, so every (R, n) float64 temporary in the batched
+    kernels pays the kernel's serialized page-fault/zeroing path — the
+    measured ~2.2 GB/s AGGREGATE ceiling (tools/membw.py) that flattens
+    8->32 worker scaling.  Raising M_MMAP_THRESHOLD (and M_TRIM_THRESHOLD,
+    so freed blocks are not returned via brk trim either) lets freed
+    blocks be reused warm: the batched SuperSmoother paths measure ~30%
+    faster single-threaded, and every worker stops competing for the
+    fault path.  Cost: per-process RSS holds its high-water mark (batch
+    temporaries are tens of MB per worker — bounded).  No-op on non-glibc
+    platforms."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
 def patch_fsspec_http() -> None:
     try:
         from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
@@ -31,4 +56,5 @@ def patch_fsspec_http() -> None:
         mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
 
 
+tune_malloc()
 patch_fsspec_http()

@@ -178,6 +178,140 @@ def supersmoother_stack(Y: np.ndarray) -> np.ndarray:
     return _rl_fit(rcy, rcxy, halfs[0], x, cx, cxx)
 
 
+class _RaggedPlan:
+    """Y-independent half of a per-row-window running-linear fit.
+
+    For a fixed (halfs, nlens) pair everything except the y-prefix gathers
+    — window bounds, counts, x-moments, variance mask, leverage — is a
+    function of x alone, and the 6 smoothing passes of a SuperSmoother
+    share only 3 distinct half-vectors.  Caching these exactly as the
+    straight-line code computes them changes no operation, so fits stay
+    bitwise-identical to :func:`_rl_fit` per row."""
+
+    __slots__ = ("lo_flat", "hi_flat", "m", "sx", "var", "mask", "xc", "om")
+
+    def __init__(self, halfs: np.ndarray, nlens: np.ndarray, x: np.ndarray,
+                 cx: np.ndarray, cxx: np.ndarray):
+        nmax = x.size
+        R = halfs.size
+        idx = np.arange(nmax, dtype=np.int64)
+        h64 = halfs.astype(np.int64)[:, None]
+        lo = np.maximum(0, idx - h64)
+        hi = np.minimum(nlens.astype(np.int64)[:, None], idx + h64 + 1)
+        m = (hi - lo).astype(np.float64)
+        sx = cx[hi] - cx[lo]
+        sxx = cxx[hi] - cxx[lo]
+        # flat gather indexes into the raveled (R, nmax+1) prefix matrix:
+        # np.take on a flat view is ~3x faster than take_along_axis here
+        rowoff = (np.arange(R, dtype=np.int64) * (nmax + 1))[:, None]
+        self.lo_flat = (lo + rowoff).ravel()
+        self.hi_flat = (hi + rowoff).ravel()
+        with np.errstate(all="ignore"):
+            xbar = sx / m
+            var = sxx - sx * xbar
+            self.mask = var > 1e-12
+            self.xc = x - xbar
+            h = 1.0 / m + np.where(self.mask, self.xc ** 2 / var, 0.0)
+        h = np.minimum(h, 0.999)
+        self.om = 1.0 - h
+        self.m, self.sx, self.var = m, sx, var
+
+
+def _rl_fit_ragged(cy: np.ndarray, cxy: np.ndarray, plan: _RaggedPlan,
+                   Y: np.ndarray | None = None):
+    """Running-linear fit with PER-ROW window size and length over a padded
+    (R, nmax) stack.  For every valid cell (j < nlens[r]) the windowed
+    prefix-sum arithmetic reads exactly the same prefix indices (<= nlens[r])
+    with exactly the same operands as :func:`_rl_fit` on that row alone, so
+    valid cells are bitwise-identical to the per-row path; padded cells
+    (j >= nlens[r]) may hold inf/nan garbage but every later stage's windows
+    stop at nlens[r], so garbage never leaks into valid cells (cumsum
+    prefixes at index <= nlens[r] never touch padded elements)."""
+    R, nmax = cy.shape[0], cy.shape[1] - 1
+    cyf = np.ascontiguousarray(cy).reshape(-1)
+    cxyf = np.ascontiguousarray(cxy).reshape(-1)
+    sy = (np.take(cyf, plan.hi_flat) - np.take(cyf, plan.lo_flat)).reshape(R, nmax)
+    sxy = (np.take(cxyf, plan.hi_flat) - np.take(cxyf, plan.lo_flat)).reshape(R, nmax)
+    with np.errstate(all="ignore"):
+        ybar = sy / plan.m
+        cov = sxy - plan.sx * ybar
+        slope = np.where(plan.mask, cov / plan.var, 0.0)
+        fit = ybar + slope * plan.xc
+        if Y is None:
+            return fit
+        cv = np.abs(Y - fit) / plan.om
+    return fit, cv
+
+
+def supersmoother_ragged(rows: list[np.ndarray]) -> list[np.ndarray]:
+    """Friedman Super Smoother for MIXED-length rows in one padded stack.
+
+    Bitwise-identical per row to :func:`supersmoother` (parity gate in
+    tests/test_kernels.py): x-prefixes for length n are a prefix of the
+    nmax ones (exact integer cumsums), y-prefixes at index <= n never read
+    padding, and every windowed/elementwise op on a valid cell sees the
+    same operands as the per-row call.  This is what lets the feature
+    stage batch the SuperSmoother for EVERY row of a batch — including
+    lengths that appear only once, which the same-length group stack
+    (:func:`supersmoother_stack`) cannot cover."""
+    out: list[np.ndarray | None] = [None] * len(rows)
+    big_i: list[int] = []
+    big: list[np.ndarray] = []
+    for i, y in enumerate(rows):
+        y = np.asarray(y, dtype=np.float64)
+        if y.size < 5:
+            out[i] = np.full(y.size, y.mean()) if y.size else y.copy()
+        else:
+            big_i.append(i)
+            big.append(y)
+    if not big:
+        return out
+    R = len(big)
+    nlens = np.array([y.size for y in big])
+    nmax = int(nlens.max())
+    spans = np.array([0.05, 0.2, 0.5])
+    # int(round(s*n/2)): np.round and Python round share IEEE half-even
+    halfs = np.maximum(2, np.round(spans[None, :] * nlens[:, None] / 2.0).astype(np.int64))
+
+    x, cx, cxx = _x_prefixes(nmax)
+    plans = [_RaggedPlan(halfs[:, k], nlens, x, cx, cxx) for k in range(3)]
+    Y = np.zeros((R, nmax))
+    for r, y in enumerate(big):
+        Y[r, : y.size] = y
+    cy, cxy = _y_prefixes(Y, x)
+    fits = np.empty((3, R, nmax))
+    cvs = np.empty((3, R, nmax))
+    for k in range(3):
+        fits[k], cvs[k] = _rl_fit_ragged(cy, cxy, plans[k], Y=Y)
+    # smooth each |cv| curve with the midrange span; slicing the (3, R, n)
+    # stack into three (R, n) fits is bitwise-identical to one tiled
+    # (3R, n) fit (cumsum and every later op are per-row)
+    cvs_s = np.empty((3, R, nmax))
+    for k in range(3):
+        ccy, ccxy = _y_prefixes(cvs[k], x)
+        cvs_s[k] = _rl_fit_ragged(ccy, ccxy, plans[1])
+
+    best = np.argmin(cvs_s, axis=0)
+    span_opt = spans[best]
+    scy, scxy = _y_prefixes(span_opt, x)
+    span_smooth = _rl_fit_ragged(scy, scxy, plans[1])
+    span_smooth = np.clip(span_smooth, spans[0], spans[-1])
+
+    idx_hi = np.searchsorted(spans, span_smooth.ravel(), side="left").reshape(R, nmax)
+    idx_hi = np.clip(idx_hi, 1, 2)
+    s_lo, s_hi = spans[idx_hi - 1], spans[idx_hi]
+    with np.errstate(all="ignore"):
+        f = (span_smooth - s_lo) / (s_hi - s_lo)
+        rws = np.arange(R)[:, None]
+        cols = np.arange(nmax)[None, :]
+        res = (1 - f) * fits[idx_hi - 1, rws, cols] + f * fits[idx_hi, rws, cols]
+    rcy, rcxy = _y_prefixes(res, x)
+    final = _rl_fit_ragged(rcy, rcxy, plans[0])
+    for r, i in enumerate(big_i):
+        out[i] = final[r, : nlens[r]].copy()
+    return out
+
+
 def supersmoother(y: np.ndarray) -> np.ndarray:
     """Friedman's Super Smoother trend estimate over x = 0..n-1."""
     y = np.asarray(y, dtype=np.float64)

@@ -58,6 +58,17 @@ def preseed_stacked(ctxs: list[SeriesCtx], kernels) -> None:
     for idx, c in enumerate(ctxs):
         if c.ts.size >= 5:
             groups.setdefault(c.ts.size, []).append(idx)
+    # lengths that appear only once can't join a same-length stack, but the
+    # ragged batched SuperSmoother (per-row window sizes over one padded
+    # stack, bitwise-identical per row) still amortizes their dominant
+    # precompute — the ~0.5 ms/row trend fit — across the batch
+    singles = [idxs[0] for idxs in groups.values() if len(idxs) == 1]
+    if len(singles) >= 2:
+        trends = _dec.supersmoother_ragged([ctxs[i].ts for i in singles])
+        for i, tr in zip(singles, trends):
+            cache = ctxs[i]._cache
+            cache["ss_trend"] = tr
+            cache["ts_detrended_ss"] = ctxs[i].ts - tr
     for n, idxs in groups.items():
         if len(idxs) < 2:
             continue
