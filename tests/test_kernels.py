@@ -240,6 +240,42 @@ def test_golden_heavy_feature_values_stable():
                 )
 
 
+def test_quantiles_and_edges_bitwise_vs_numpy():
+    """quantiles_part / hist_edges replicate np.quantile / np.histogram
+    edges bitwise (partition + numpy's exact _lerp and linspace
+    arithmetic) — the feature goldens and oracle hashes pin the numpy
+    values, so the fast paths must never drift an ulp."""
+    from ts_pymfe_ray.functions.stats import hist_edges, quantile2, quantiles_part
+
+    rng = np.random.default_rng(11)
+    for trial in range(400):
+        n = int(rng.integers(1, 600))
+        kind = trial % 6
+        x = rng.normal(0, 10.0 ** float(rng.integers(-8, 9)), size=n)
+        if kind == 1:
+            x = np.round(x, 1)  # heavy ties
+        elif kind == 2:
+            x = np.full(n, float(rng.normal()))  # constant
+        elif kind == 3:
+            x = np.sort(x)
+        elif kind == 4:
+            x = x * 1e-300  # denormal-range spacing
+        elif kind == 5:
+            x = rng.integers(-5, 5, size=n).astype(np.float64)
+        qs = (0.0, 0.05, 0.25, 0.5, 0.8, 0.95, 1.0)
+        ref = np.quantile(x, qs)
+        got = quantiles_part(x, qs)
+        assert all(r == g for r, g in zip(ref, got)), (n, kind)
+        lo, hi = quantile2(x, 0.05, 0.95)
+        r2 = np.quantile(x, (0.05, 0.95))
+        assert lo == r2[0] and hi == r2[1]
+        for nb in (7, 10):
+            assert np.array_equal(np.histogram(x, nb)[1], hist_edges(x, nb))
+    # NaN propagation matches numpy
+    xn = np.array([1.0, np.nan, 3.0])
+    assert np.isnan(quantiles_part(xn, (0.5,))[0]) == np.isnan(np.quantile(xn, 0.5))
+
+
 def test_stacked_precompute_bitwise_parity():
     """The batched same-length precompute stacks (SuperSmoother trend,
     z-score, moving power prefixes) and the FeatureStage seeding path are

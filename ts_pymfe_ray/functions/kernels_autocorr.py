@@ -165,7 +165,7 @@ register(FeatureKernel(
 def _autocorr_out_dist(c: SeriesCtx, p: float = 0.8) -> np.ndarray:
     acfs = c.detrended_acfs
     ts_abs = np.abs(c.ts)
-    inliers = c.ts[ts_abs <= np.quantile(ts_abs, p)]
+    inliers = c.ts[ts_abs <= _st.quantiles_part(ts_abs, (p,))[0]]
     in_acfs = _st.acf(inliers, nlags=inliers.size // 2)
     return np.abs(acfs[: in_acfs.size] - in_acfs)
 

@@ -90,7 +90,7 @@ register(FeatureKernel(
 
 
 def _hist_ent_out_diff(c: SeriesCtx, num_bins: int = 10, pcut: float = 0.05) -> float:
-    lo, hi = np.quantile(c.ts, (pcut, 1 - pcut))
+    lo, hi = _st.quantile2(c.ts, pcut, 1 - pcut)  # == np.quantile, bitwise
     inl = c.ts[(c.ts >= lo) & (c.ts <= hi)]
     e_all = _hist10_entropy(c)
     e_in = shannon_entropy(_st.hist_density(inl, num_bins)) / np.log2(num_bins)

@@ -194,15 +194,64 @@ def pacf_ols(ts: np.ndarray, nlags: int | None = None, adjusted: bool = True) ->
     return out
 
 
+_EDGE_ARANGE: dict[int, np.ndarray] = {}
+
+
 def hist_edges(x: np.ndarray, nbins: int) -> np.ndarray:
     """== np.histogram(x, nbins)[1] for finite x (uniform bins), without
-    paying for the counting pass."""
+    paying for the counting pass.
+
+    Replicates np.linspace's arithmetic exactly (arange * step + start,
+    then pin the endpoint; the step==0 denormal branch divides first) with
+    a cached arange — linspace's ~25us of per-call machinery matters at
+    hundreds of histogram kernels per batch."""
     lo = float(np.min(x))
     hi = float(np.max(x))
     if lo == hi:
         lo -= 0.5
         hi += 0.5
-    return np.linspace(lo, hi, nbins + 1)
+    ar = _EDGE_ARANGE.get(nbins)
+    if ar is None:
+        ar = _EDGE_ARANGE[nbins] = np.arange(nbins + 1, dtype=np.float64)
+    delta = hi - lo
+    step = delta / nbins
+    if step == 0:
+        e = ar * delta
+        e /= nbins
+    else:
+        e = ar * step
+    e += lo
+    e[-1] = hi
+    return e
+
+
+def quantiles_part(x: np.ndarray, qs: tuple[float, ...]) -> tuple[float, ...]:
+    """== np.quantile(x, qs) bitwise for 1-D x (default 'linear' method),
+    via one np.partition on the needed order stats instead of
+    np.quantile's ~60us dispatch machinery.  Mirrors numpy's _lerp
+    exactly (a + (b-a)*t, and b - (b-a)*(1-t) when t >= 0.5) and its
+    NaN propagation (any NaN -> fall back to np.quantile)."""
+    n = x.size
+    vs = [q * (n - 1) for q in qs]
+    kth = sorted({min(int(v) + d, n - 1) for v in vs for d in (0, 1)})
+    if np.isnan(x).any():  # numpy propagates NaN; partition would hide it
+        r = np.atleast_1d(np.quantile(x, qs))
+        return tuple(float(t) for t in r)
+    p = np.partition(x, kth)
+    out = []
+    for v in vs:
+        i0 = int(v)
+        i1 = min(i0 + 1, n - 1)
+        t = v - i0
+        a, b = p[i0], p[i1]
+        d = b - a
+        out.append(b - d * (1 - t) if t >= 0.5 else a + d * t)
+    return tuple(out)
+
+
+def quantile2(x: np.ndarray, q_lo: float, q_hi: float) -> tuple[float, float]:
+    """== np.quantile(x, (q_lo, q_hi)) bitwise — see quantiles_part."""
+    return quantiles_part(x, (q_lo, q_hi))
 
 
 def hist_counts(x: np.ndarray, nbins: int) -> tuple[np.ndarray, np.ndarray]:

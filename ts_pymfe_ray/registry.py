@@ -24,6 +24,7 @@ equivalent of adding an ``ft_`` method to a reference class.
 from __future__ import annotations
 
 import dataclasses
+import math
 import typing as t
 
 import numpy as np
@@ -177,7 +178,8 @@ def kernels_of(groups: t.Iterable[str] | None = None, max_cost: str = "heavy") -
 # --- summaries applied to array-valued kernels (reference default
 # ("mean", "sd"), tsmfe.py:48) ------------------------------------------
 def summarize_array(vals: np.ndarray) -> dict[str, float]:
-    v = np.asarray(vals, dtype=np.float64)
+    v = vals if type(vals) is np.ndarray and vals.dtype == np.float64 \
+        else np.asarray(vals, dtype=np.float64)
     if v.size == 0:
         return {"mean": np.nan, "sd": np.nan}
     s1 = v.sum()
@@ -191,7 +193,9 @@ def summarize_array(vals: np.ndarray) -> dict[str, float]:
     if n < 2:
         return {"mean": float(mean), "sd": np.nan}
     var = (v @ v - n * mean * mean) / (n - 1)
-    return {"mean": float(mean), "sd": float(np.sqrt(var)) if var > 0 else 0.0}
+    # math.sqrt == np.sqrt bitwise (both the IEEE-754 sqrt), ~10x cheaper
+    # on a scalar — this runs once per array kernel per row
+    return {"mean": float(mean), "sd": math.sqrt(var) if var > 0 else 0.0}
 
 
 def feature_columns(kernels: list[FeatureKernel]) -> list[str]:
