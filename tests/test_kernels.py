@@ -275,6 +275,44 @@ def test_quantiles_and_edges_bitwise_vs_numpy():
     xn = np.array([1.0, np.nan, 3.0])
     assert np.isnan(quantiles_part(xn, (0.5,))[0]) == np.isnan(np.quantile(xn, 0.5))
 
+    # median_part == np.median bitwise (odd/even/tied/constant)
+    from ts_pymfe_ray.functions.stats import median_part
+
+    for trial in range(200):
+        n = int(rng.integers(1, 100))
+        x = np.round(rng.normal(0, 5, size=n), rng.integers(0, 3))
+        assert median_part(x) == np.median(x), (n, trial)
+
+
+def test_lz78_trie_equals_substring_scan():
+    """The LZ76/78 trie walk in lz_complexity counts exactly the phrases
+    the reference's growing-substring set scan counts
+    (info_theory.py:1169-1232) — randomized over alphabet sizes and
+    lengths including degenerate constant strings."""
+    from ts_pymfe_ray.functions.kernels_info import _lz_complexity
+    from ts_pymfe_ray.registry import SeriesCtx
+
+    def scan_count(ts_bin: bytes) -> int:
+        ind_start, ind_end, subs = 0, 1, set()
+        while ind_end <= len(ts_bin):
+            sub = ts_bin[ind_start:ind_end]
+            if sub not in subs:
+                subs.add(sub)
+                ind_start = ind_end
+            ind_end += 1
+        return len(subs)
+
+    from ts_pymfe_ray.functions.kernels_general import _discretize
+
+    rng = np.random.default_rng(5)
+    for trial in range(200):
+        n = int(rng.integers(5, 600))
+        ts = rng.normal(size=n) if trial % 3 else np.repeat(rng.normal(), n)
+        c = SeriesCtx(ts)
+        got = _lz_complexity(c, normalize=False)
+        want = scan_count(_discretize(c.ts, 10).astype(np.uint8).tobytes())
+        assert got == float(want), (trial, n, got, want)
+
 
 def test_stacked_precompute_bitwise_parity():
     """The batched same-length precompute stacks (SuperSmoother trend,

@@ -88,7 +88,7 @@ register(FeatureKernel(
 
 register(FeatureKernel(
     "diff", "general",
-    lambda c: np.diff(c.ts),
+    lambda c: c.ts_diff,
     returns_array=True,
     ref="general.py:358 (ft_diff, order=1)",
 ))
@@ -148,7 +148,7 @@ register(FeatureKernel(
 
 def _frac_cp(c: SeriesCtx) -> float:
     s = c.ts_scaled
-    thr = np.median(s)
+    thr = _st.median_part(s)  # == np.median, bitwise
     higher = s <= thr
     return float(np.logical_xor(higher[1:], higher[:-1]).sum() / (s.size - 1))
 

@@ -52,17 +52,17 @@ register(FeatureKernel(
 
 register(FeatureKernel(
     "sd_diff", "global_stats",
-    lambda c: float(np.std(np.diff(c.ts), ddof=1)),
+    lambda c: float(np.std(c.ts_diff, ddof=1)),
     ref="global_stats.py:229",
 ))
 register(FeatureKernel(
     "skewness_diff", "global_stats",
-    lambda c: _st.skewness(np.diff(c.ts)),
+    lambda c: _st.skewness(c.ts_diff),
     ref="global_stats.py:334",
 ))
 register(FeatureKernel(
     "kurtosis_diff", "global_stats",
-    lambda c: _st.kurtosis(np.diff(c.ts)),
+    lambda c: _st.kurtosis(c.ts_diff),
     ref="global_stats.py:518",
 ))
 

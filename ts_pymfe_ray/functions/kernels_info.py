@@ -242,16 +242,24 @@ def _lz_complexity(c: SeriesCtx, num_bins: int = 10, normalize: bool = True) -> 
     # bin indices are 0..num_bins (< 256), so the byte string preserves
     # substring identity exactly while hashing ~10x cheaper than tuples
     ts_bin = _discretize(c.ts, num_bins).astype(np.uint8).tobytes()
-    ind_start, ind_end = 0, 1
-    substrings = set()
     n = len(ts_bin)
-    while ind_end <= n:
-        sub = ts_bin[ind_start:ind_end]
-        if sub not in substrings:
-            substrings.add(sub)
-            ind_start = ind_end
-        ind_end += 1
-    lz = len(substrings)
+    # LZ78 phrase parse as a trie walk (one dict lookup per symbol).
+    # Equivalent to the reference's growing-substring set scan
+    # (info_theory.py:1169-1232): every phrase is a previously seen
+    # phrase plus one symbol, so the set's members are exactly the trie's
+    # nodes and "window in set" == "walk stays on the trie"
+    # (randomized-equivalence-tested in test_kernels.py).
+    root: dict = {}
+    node = root
+    lz = 0
+    for b in ts_bin:
+        child = node.get(b)
+        if child is None:
+            node[b] = {}
+            lz += 1
+            node = root
+        else:
+            node = child
     if normalize:
         lz *= np.log(n) / (n * np.log(num_bins))
     return float(lz)

@@ -254,6 +254,21 @@ def quantile2(x: np.ndarray, q_lo: float, q_hi: float) -> tuple[float, float]:
     return quantiles_part(x, (q_lo, q_hi))
 
 
+def median_part(x: np.ndarray) -> float:
+    """== np.median(x) bitwise for 1-D x: partition the middle order
+    stat(s); even n averages the two middles exactly as np.mean of the
+    two-element slice does ((a+b)/2).  NaN input falls back to numpy for
+    its propagation semantics."""
+    n = x.size
+    if n == 0 or np.isnan(x).any():
+        return float(np.median(x))
+    h = n // 2
+    if n % 2:
+        return float(np.partition(x, h)[h])
+    p = np.partition(x, (h - 1, h))
+    return float((p[h - 1] + p[h]) / 2.0)
+
+
 def hist_counts(x: np.ndarray, nbins: int) -> tuple[np.ndarray, np.ndarray]:
     """(counts, edges) == np.histogram(x, nbins) bitwise, via the same
     uniform-bin index arithmetic numpy uses (scaled index + edge

@@ -72,6 +72,13 @@ class SeriesCtx:
         return self._get("ts_detrended_ss", lambda: self.ts - self.ssmoother_trend)
 
     @property
+    def ts_diff(self) -> np.ndarray:
+        """First difference of the capped series — shared (read-only by
+        convention) by the diff / sd_diff / skewness_diff / kurtosis_diff
+        kernels, which all recompute the identical np.diff otherwise."""
+        return self._get("ts_diff", lambda: np.diff(self.ts))
+
+    @property
     def period(self) -> int:
         return self._get("period", lambda: ts_period_from_detrended(self.ts_detrended_ss))
 
