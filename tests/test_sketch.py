@@ -118,6 +118,48 @@ def test_rollup_stage_fuzz_roundtrip(lengths, seed):
         assert dec["var"].size == raw[f"f{i}"]["n_windows"]
 
 
+@given(
+    lengths=st.lists(st.integers(0, 700), min_size=1, max_size=10),
+    bucket=st.sampled_from([1, 7, 64]),
+    seed=st.integers(0, 200),
+)
+@settings(max_examples=60, deadline=None)
+def test_global_at_bitwise_parity(lengths, bucket, seed):
+    """compute_window_sketches_at / merge_adjacent_at over a multi-row flat
+    array (row-barrier products zeroed) are BITWISE equal to per-row
+    compute_window_sketches / merge_adjacent — the contract the rollup
+    stage's batch-global pass 1 rides on."""
+    rng = np.random.default_rng(seed)
+    rows = [rng.normal(size=n) * 50 for n in lengths]
+    flat = np.concatenate(rows) if rows else np.empty(0)
+    rel = np.concatenate([[0], np.cumsum([r.size for r in rows])]).astype(np.int64)
+    nw = -(-np.diff(rel) // bucket)
+    w_off = np.concatenate([[0], np.cumsum(nw)])
+    W = int(w_off[-1])
+    within = np.arange(W, dtype=np.int64) - np.repeat(w_off[:-1], nw)
+    starts = np.repeat(rel[:-1], nw) + within * bucket
+    ends = np.minimum(starts + bucket, np.repeat(rel[1:], nw))
+    barriers = rel[1:-1] - 1
+    got = sk.compute_window_sketches_at(
+        flat, starts, ends, barriers=barriers[barriers >= 0])
+    per_row = [sk.compute_window_sketches(r, bucket) for r in rows if r.size]
+    want = np.vstack(per_row) if per_row else np.empty((0, sk.N_FIELDS))
+    assert got.tobytes() == want.tobytes()
+
+    # merge level: groups of 3 within each row's window range
+    nm = -(-nw // 3)
+    m_off = np.concatenate([[0], np.cumsum(nm)])
+    M = int(m_off[-1])
+    within_m = np.arange(M, dtype=np.int64) - np.repeat(m_off[:-1], nm)
+    ms = np.repeat(w_off[:-1], nm) + within_m * 3
+    me = np.minimum(ms + 3, np.repeat(w_off[1:], nm))
+    mb = w_off[1:-1] - 1
+    got_m = sk.merge_adjacent_at(got, ms, me, barriers=mb[mb >= 0])
+    per_row_m = [sk.merge_adjacent(p, 3) for p in per_row]
+    want_m = np.vstack(per_row_m) if per_row_m else np.empty((0, sk.N_FIELDS))
+    assert got_m.tobytes() == want_m.tobytes()
+
+
 def test_buffer_reuse_bitwise_parity():
     """The out=/scratch= buffer-reuse paths (gap_fill, window sketches,
     merge_adjacent, RollupStage instance reuse across batches) are bitwise

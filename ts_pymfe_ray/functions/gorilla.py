@@ -95,7 +95,9 @@ def decode_floats_xor(buf: bytes) -> np.ndarray:
 
 
 def _zigzag(d: np.ndarray) -> np.ndarray:
-    return ((d << 1) ^ (d >> 63)).astype(np.uint64)
+    # .view not .astype: int64 -> uint64 conversion is mod-2^64, i.e. a bit
+    # reinterpret — the view skips one full-array copy
+    return ((d << 1) ^ (d >> 63)).view(np.uint64)
 
 
 def _unzigzag(z: np.ndarray) -> np.ndarray:
@@ -292,14 +294,16 @@ def encode_ints_dod_many(flat: np.ndarray, offsets: np.ndarray,
     # native little-endian bytes, zero-copy: the last nonzero LE byte
     # gives the varint width; payload is the big-endian (reversed) suffix
     bm_le = z.view(np.uint8).reshape(m, 8)
-    # varint width via a shift ladder on z itself — no byte-matrix scan;
-    # values are overwhelmingly 1-3 bytes after delta+zigzag, so the loop
-    # exits after a few cheap passes
+    # varint width via a threshold ladder: one z.max() scan bounds the
+    # loop, then each extra byte of width is a single compare-and-add pass
+    # (values are overwhelmingly 1-3 bytes after delta+zigzag)
     nbytes = (z > 0).astype(np.int64)
-    t = z >> np.uint64(8)
-    while t.any():
-        nbytes += (t > 0).astype(np.int64)
-        t = t >> np.uint64(8)
+    if m:
+        zmax = int(z.max())
+        thr = 0xFF
+        while zmax > thr:
+            nbytes += z > np.uint64(thr)
+            thr = (thr << 8) | 0xFF
     headers = nbytes.astype(np.uint8)
     packed = _pack_suffix_reversed(bm_le, nbytes)
 

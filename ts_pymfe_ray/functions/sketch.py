@@ -48,15 +48,41 @@ def compute_window_sketches(x: np.ndarray, bucket: int,
     if n == 0:
         return out if out is not None else np.empty((0, N_FIELDS), dtype=np.float64)
     starts = np.arange(0, n, bucket)
+    ends = np.minimum(starts + bucket, n)
+    return compute_window_sketches_at(x, starts, ends, out=out, scratch=scratch)
+
+
+def compute_window_sketches_at(x: np.ndarray, starts: np.ndarray,
+                               ends: np.ndarray,
+                               out: np.ndarray | None = None,
+                               scratch: np.ndarray | None = None,
+                               barriers: np.ndarray | None = None) -> np.ndarray:
+    """Sketch explicit contiguous windows of a flat array in ONE pass.
+
+    Windows must TILE ``x``: ``ends[k] == starts[k+1]`` and ``ends[-1] ==
+    len(x)`` (the ``np.add.reduceat`` segment rule).  This is the
+    batch-global engine behind :func:`compute_window_sketches` — a whole
+    map_batches batch of rows, gap-filled into one flat buffer, sketches in
+    ~10 reduceat kernels instead of one Python call per row.
+
+    ``barriers`` are pair indices ``j`` where ``(x[j], x[j+1])`` crosses a
+    series/row boundary: those products are zeroed BEFORE the comoment
+    reduceat, which makes the multi-row flat result bitwise identical to
+    per-row calls (each row's final window sums the same ``+0.0`` pad the
+    per-row path appends, and the subtraction of a zeroed cross term is
+    exact).  Parity gate: tests/test_sketch.py::test_global_at_bitwise_parity.
+    """
+    n = x.size
     num_w = starts.size
     if out is None:
         out = np.empty((num_w, N_FIELDS), dtype=np.float64)
+    if num_w == 0:
+        return out
     if scratch is not None and scratch.shape[1] >= n:
         xp, prod = scratch[0, :n], scratch[1, :n]
     else:
         xp, prod = np.empty(n, dtype=np.float64), np.empty(n, dtype=np.float64)
 
-    ends = np.minimum(starts + bucket, n)
     counts = (ends - starts).astype(np.float64)
     out[:, _I["n"]] = counts
     out[:, _I["s1"]] = np.add.reduceat(x, starts)
@@ -72,9 +98,13 @@ def compute_window_sketches(x: np.ndarray, bucket: int,
         # validly and the last segment covers exactly its in-window pairs.
         np.multiply(x[:-1], x[1:], out=prod[:-1])
         prod[-1] = 0.0
+        if barriers is not None and barriers.size:
+            prod[barriers] = 0.0
         c1 = np.add.reduceat(prod, starts)
         # segment [starts[k], starts[k+1]) includes the cross-boundary pair
-        # at index ends[k]-1 for every non-final window; subtract it.
+        # at index ends[k]-1 for every non-final window; subtract it.  (At a
+        # row barrier that pair was zeroed above, so the subtraction is a
+        # bitwise no-op matching the per-row pad-with-zero path.)
         if num_w > 1:
             c1[:-1] -= prod[ends[:-1] - 1]
         out[:, _I["c1"]] = c1
@@ -104,8 +134,28 @@ def merge_adjacent(sketches: np.ndarray, group: int,
         return sketches.copy() if out is None else out
     starts = np.arange(0, m, group)
     ends = np.minimum(starts + group, m)
+    return merge_adjacent_at(sketches, starts, ends, out=out, scratch=scratch)
+
+
+def merge_adjacent_at(sketches: np.ndarray, starts: np.ndarray,
+                      ends: np.ndarray,
+                      out: np.ndarray | None = None,
+                      scratch: np.ndarray | None = None,
+                      barriers: np.ndarray | None = None) -> np.ndarray:
+    """Merge explicit contiguous runs of adjacent sketches in ONE pass.
+
+    Same tiling contract and ``barriers`` semantics as
+    :func:`compute_window_sketches_at`, over sketch rows instead of raw
+    values: barrier index ``j`` means windows ``j`` and ``j+1`` belong to
+    different series, so their boundary cross term is zeroed and a
+    multi-row flat merge is bitwise identical to per-row merges.
+    """
+    m = sketches.shape[0]
+    num_w = starts.size
     if out is None:
-        out = np.empty((starts.size, N_FIELDS), dtype=np.float64)
+        out = np.empty((num_w, N_FIELDS), dtype=np.float64)
+    if num_w == 0:
+        return out
     for f in ("n", "s1", "s2", "s3", "s4"):
         out[:, _I[f]] = np.add.reduceat(sketches[:, _I[f]], starts)
     # comoment: sum of parts + boundary cross terms last(w) * first(w+1)
@@ -118,8 +168,10 @@ def merge_adjacent(sketches: np.ndarray, group: int,
                  else np.empty(m, dtype=np.float64))
         np.multiply(sketches[:-1, _I["last"]], sketches[1:, _I["first"]], out=cross[:-1])
         cross[-1] = 0.0
+        if barriers is not None and barriers.size:
+            cross[barriers] = 0.0
         csum = np.add.reduceat(cross, starts)
-        if starts.size > 1:
+        if num_w > 1:
             csum[:-1] -= cross[ends[:-1] - 1]
         c1 = c1 + csum
     out[:, _I["c1"]] = c1

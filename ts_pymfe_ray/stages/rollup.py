@@ -90,26 +90,26 @@ class RollupStage:
         self.num_parts = num_parts
         self.store_tokens = store_tokens
         self._big = np.empty((0, sk.N_FIELDS), dtype=np.float64)
-        self._xbuf = np.empty(0, dtype=np.float64)
+        self._gf = np.empty(0, dtype=np.float64)
         self._scratch = np.empty((2, 0), dtype=np.float64)
         self._ws = np.empty(0, dtype=np.float64)
         self._tok = np.empty(0, dtype=np.int64)
         self._gap = np.empty(0, dtype=np.float64)
 
-    def _buffers(self, n_windows: int, max_n: int, ws_len: int, total: int):
+    def _buffers(self, n_windows: int, ws_len: int, total: int):
         """Grow (with headroom) and hand out the per-batch scratch views."""
         if self._big.shape[0] < n_windows:
             self._big = np.empty((n_windows + (n_windows >> 2), sk.N_FIELDS))
-        if self._xbuf.size < max_n:
-            self._xbuf = np.empty(max_n + (max_n >> 2))
-            self._scratch = np.empty((2, self._xbuf.size))
+        if self._gf.size < total:
+            self._gf = np.empty(total + (total >> 2))
+            self._scratch = np.empty((2, self._gf.size))
         if self._ws.size < ws_len:
             self._ws = np.empty(ws_len + (ws_len >> 2))
         if self._tok.size < total:
             self._tok = np.empty(total + (total >> 2), dtype=np.int64)
         if self._gap.size < total + 1:
             self._gap = np.empty(total + 1 + (total >> 2))
-        return self._big, self._xbuf, self._scratch, self._ws, self._tok, self._gap
+        return self._big, self._gf, self._scratch, self._ws, self._tok, self._gap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         views, t_off, t_flat = tokens_views(batch)
@@ -127,38 +127,70 @@ class RollupStage:
             else np.zeros(n_in, dtype=np.int64)
         )
 
-        # pass 1: per-row sketches (row boundaries force per-row calls),
-        # written straight into ONE preallocated batch-wide sketch matrix
-        # (layout: row0 raw | row0 10x | row0 100x | row1 raw | ...) for a
-        # single batched derive_features call — the per-window statistics
-        # are then computed by ~10 numpy kernels per BATCH instead of per
-        # row, and no per-row temporary is ever allocated.
+        # pass 1: the WHOLE batch's sketches in three global reduceat passes.
+        # Rows gap-fill into one flat buffer; raw windows of every row tile
+        # that buffer, so compute_window_sketches_at sketches all of them in
+        # ~10 numpy kernels (row-barrier cross products zeroed — bitwise
+        # identical to per-row calls, parity gate in test_sketch.py).  The
+        # sketch matrix is laid out in tier BLOCKS (all raw | all 10x | all
+        # 100x) so each merge level is likewise ONE merge_adjacent_at call
+        # instead of a Python call per row — round-4 profile: the 768
+        # per-row sketch/merge calls were ~1/3 of stage wall.
         rel_off = (t_off - t_off[0]).astype(np.int64) if n_in else np.zeros(1, np.int64)
         lens = np.diff(rel_off)
         total = int(rel_off[-1])
         nw_raw = -(-lens // RAW_BUCKET)
+        nw10 = -(-nw_raw // 10)
+        nw100 = -(-nw10 // 10)
         nws = np.empty(3 * n_in, dtype=np.int64)
         nws[0::3] = nw_raw
-        nws[1::3] = -(-nw_raw // 10)
-        nws[2::3] = -(-nws[1::3] // 10)
+        nws[1::3] = nw10
+        nws[2::3] = nw100
         sk_off = np.concatenate([[0], np.cumsum(nws)])
         W = int(sk_off[-1])
+        raw_off = np.concatenate([[0], np.cumsum(nw_raw)])
+        t10_off = np.concatenate([[0], np.cumsum(nw10)])
+        t100_off = np.concatenate([[0], np.cumsum(nw100)])
+        Wr, W10 = int(raw_off[-1]), int(t10_off[-1])
         ns = len(STREAMS)
-        max_n = int(lens.max()) if n_in else 0
-        bigbuf, xbuf, scratch, wsbuf, tokbuf, gapbuf = self._buffers(
-            W, max_n, ns * W, total)
+        bigbuf, gf, scratch, wsbuf, tokbuf, gapbuf = self._buffers(W, ns * W, total)
         big = bigbuf[:W]
+        gff = gf[:total]
         for i, tok in enumerate(views):
-            o = 3 * i
-            x = gap_fill(tok, out=xbuf[: tok.size])
-            raw = sk.compute_window_sketches(
-                x, RAW_BUCKET, out=big[sk_off[o] : sk_off[o + 1]], scratch=scratch)
-            t10 = sk.merge_adjacent(
-                raw, 10, out=big[sk_off[o + 1] : sk_off[o + 2]], scratch=scratch[0])
-            sk.merge_adjacent(
-                t10, 10, out=big[sk_off[o + 2] : sk_off[o + 3]], scratch=scratch[0])
+            gap_fill(tok, out=gff[rel_off[i] : rel_off[i + 1]])
+
+        def _tile(dst_off, widths, src_off, unit):
+            # source-coordinate (starts, ends) tiling every row's windows
+            within = (np.arange(int(dst_off[-1]), dtype=np.int64)
+                      - np.repeat(dst_off[:-1], widths))
+            starts = np.repeat(src_off[:-1], widths) + within * unit
+            ends = np.minimum(starts + unit, np.repeat(src_off[1:], widths))
+            return starts, ends
+
+        def _barriers(src_off):
+            b = src_off[1:-1] - 1
+            return b[b >= 0]
+
+        if W:
+            s_r, e_r = _tile(raw_off, nw_raw, rel_off, RAW_BUCKET)
+            sk.compute_window_sketches_at(
+                gff, s_r, e_r, out=big[:Wr], scratch=scratch,
+                barriers=_barriers(rel_off))
+            s10, e10 = _tile(t10_off, nw10, raw_off, 10)
+            sk.merge_adjacent_at(
+                big[:Wr], s10, e10, out=big[Wr : Wr + W10], scratch=scratch[0],
+                barriers=_barriers(raw_off))
+            s100, e100 = _tile(t100_off, nw100, t10_off, 10)
+            sk.merge_adjacent_at(
+                big[Wr : Wr + W10], s100, e100, out=big[Wr + W10 : W],
+                scratch=scratch[0], barriers=_barriers(t10_off))
         feats = sk.derive_features(big)
         stream_mat = np.column_stack([feats[s] for s in STREAMS]) if W else np.empty((0, ns))
+        # source offset of each output tier row's windows in the block layout
+        src_start = np.empty(3 * n_in, dtype=np.int64)
+        src_start[0::3] = raw_off[:-1]
+        src_start[1::3] = Wr + t10_off[:-1]
+        src_start[2::3] = Wr + W10 + t100_off[:-1]
 
         # pass 2 is fully batched: every per-(row, tier) quantity is built
         # as one numpy array, and ALL Gorilla streams of the batch are
@@ -170,10 +202,13 @@ class RollupStage:
         factors = np.tile([1, 10, 100], n_in)
 
         # win_streams blobs: streams concatenated column-major per tier row
+        # (direct strided copy into the staging buffer — no .T.ravel() temp)
         ws_flat = wsbuf[: ns * W]
         for r in range(R):
-            ws_flat[ns * sk_off[r] : ns * sk_off[r + 1]] = (
-                stream_mat[sk_off[r] : sk_off[r + 1]].T.ravel()
+            L = int(nws[r])
+            np.copyto(
+                ws_flat[ns * sk_off[r] : ns * sk_off[r + 1]].reshape(ns, L),
+                stream_mat[src_start[r] : src_start[r] + L].T,
             )
         ws_data, ws_off = gorilla.encode_floats_xor_many(ws_flat, ns * sk_off)
 
