@@ -323,6 +323,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_mktsegment": q.q_orders_by_mktsegment,
         "documents_stats": q.q_documents_stats,
         "documents_token_count": q.q_documents_token_count,
+        # corpus-curation pack: deterministic sampling, heavy hitters,
+        # exact distributed quantiles, quantile-bucket stratification
+        "documents_sample_hash": q.q_documents_sample_hash,
+        "documents_sample_stratified": q.q_documents_sample_stratified,
+        "documents_heavy_hitters": q.q_documents_heavy_hitters,
+        "documents_length_quantiles": q.q_documents_length_quantiles,
+        "documents_length_buckets": q.q_documents_length_buckets,
         "dedup_exact": q.q_dedup_exact,
         "dedup_exact_keep_first": q.q_dedup_exact_keep_first,
         "embeddings_knn": q.q_embeddings_knn,
@@ -734,6 +741,67 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang
             ORDER BY lang
+        """,
+        "documents_sample_hash": """
+            SELECT source,
+                   COUNT(*) AS n_chars_count,
+                   ROUND(SUM(n_chars), 6) AS n_chars_sum,
+                   ROUND(AVG(n_chars), 6) AS n_chars_mean,
+                   ROUND(MIN(n_chars), 6) AS n_chars_min,
+                   ROUND(MAX(n_chars), 6) AS n_chars_max
+            FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 25
+            GROUP BY source
+            ORDER BY source
+        """,
+        "documents_sample_stratified": """
+            SELECT source,
+                   COUNT(*) AS n_chars_count,
+                   ROUND(SUM(n_chars), 6) AS n_chars_sum,
+                   ROUND(AVG(n_chars), 6) AS n_chars_mean,
+                   ROUND(MIN(n_chars), 6) AS n_chars_min,
+                   ROUND(MAX(n_chars), 6) AS n_chars_max
+            FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                  < 10 + 4 * (CAST(substr(source, 4) AS BIGINT) % 20)
+            GROUP BY source
+            ORDER BY source
+        """,
+        "documents_heavy_hitters": """
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w
+            ORDER BY cnt DESC, word
+            LIMIT 20
+        """,
+        "documents_length_quantiles": """
+            SELECT source,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+                   CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+        "documents_length_buckets": """
+            WITH th AS (
+                SELECT source,
+                       quantile_disc(n_chars, 0.25) AS p25,
+                       quantile_disc(n_chars, 0.50) AS p50,
+                       quantile_disc(n_chars, 0.75) AS p75
+                FROM documents GROUP BY source
+            )
+            SELECT d.source,
+                   CAST(CASE WHEN n_chars <= p25 THEN 0
+                             WHEN n_chars <= p50 THEN 1
+                             WHEN n_chars <= p75 THEN 2
+                             ELSE 3 END AS BIGINT) AS bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents d JOIN th USING (source)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "dedup_exact": """
             SELECT source,

@@ -429,3 +429,53 @@ def test_asof_carry_matches_per_user(ray_session):
     base = q.q_events_asof_purchase(sf)
     assert base.equals(q.q_events_asof_purchase_carry(sf))
     assert base.equals(q.q_events_asof_purchase_carry(sf, span_hours=1))
+
+
+def test_disc_quantiles_match_duckdb_semantics():
+    """_disc_quantiles implements DuckDB quantile_disc's element-at-
+    ceil(q*n)-1 convention; lock it against DuckDB itself on adversarial
+    integer multisets (heavy ties, n=1, duplicate-only, skewed counts)."""
+    import duckdb
+    import pandas as pd
+    import numpy as np
+
+    from ts_pymfe_ray.pipelines.queries import _disc_quantiles
+
+    rng = np.random.default_rng(7)
+    qs = (0.25, 0.5, 0.75, 0.9)
+    cases = [
+        np.array([5]),
+        np.array([3, 3, 3, 3]),
+        rng.integers(0, 10, 37),          # heavy ties
+        rng.integers(0, 100_000, 256),    # near-distinct
+        np.repeat([1, 2], [99, 1]),       # extreme skew
+    ]
+    for i, vals in enumerate(cases):
+        u, c = np.unique(vals, return_counts=True)
+        hist = pd.DataFrame({"source": f"s{i}", "n_chars": u, "c": c})
+        got = _disc_quantiles(hist, qs).iloc[0]
+        exp = duckdb.sql(
+            "SELECT " + ", ".join(
+                f"quantile_disc(x, {q}) AS p{int(q * 100)}" for q in qs
+            ) + " FROM (SELECT unnest($vals) AS x)",
+            params={"vals": [int(v) for v in vals]},
+        ).fetchone()
+        for (q, e) in zip(qs, exp):
+            assert got[f"p{int(q * 100)}"] == e, (i, q, got, exp)
+
+
+def test_hash_sampling_deterministic_and_unbiased(ray_session):
+    """The md5 sampling coin is stable across runs (same kept set) and its
+    keep-rate lands near the target for a uniform id population."""
+    import numpy as np
+
+    from ts_pymfe_ray.pipelines.queries import _md5_mod100, q_documents_sample_hash
+
+    ids = np.arange(10_000, dtype=np.int64)
+    coin = _md5_mod100(ids)
+    assert np.array_equal(coin, _md5_mod100(ids))
+    rate = float((coin < 25).mean())
+    assert 0.22 < rate < 0.28
+    a = q_documents_sample_hash("/root/testdata/sf0.001")
+    b = q_documents_sample_hash("/root/testdata/sf0.001")
+    assert a.equals(b)

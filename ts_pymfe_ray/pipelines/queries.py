@@ -1110,3 +1110,184 @@ def q_events_props_extract(sf_dir: str) -> pd.DataFrame:
         "mean_k": round_ha((g["s"] / g["n"]).to_numpy()),
     })
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ------------------------------------------------- corpus curation operators
+#
+# The training-data curation pack the reference has no analogue for:
+# deterministic hash sampling (uniform + per-source stratified), exact
+# heavy-hitter vocabulary counts, exact distributed quantiles and
+# quantile-bucket stratification.  All four are map-side partial
+# aggregates whose shuffles carry BOUNDED key domains (sources, vocabulary
+# after per-batch collapse, distinct integer lengths) — nothing
+# per-document ever reaches the driver.
+
+
+def _md5_mod100(ids: np.ndarray) -> np.ndarray:
+    """md5_number_lower(CAST(id AS VARCHAR)) % 100, batched — the
+    deterministic sampling coin shared with the DuckDB twin (md5vec's
+    lower-64 convention is parity-tested against md5_number_lower)."""
+    from ts_pymfe_ray.functions.md5vec import md5_lower64_list
+
+    h = md5_lower64_list([str(int(i)).encode() for i in ids])
+    return h % np.uint64(100)
+
+
+def q_documents_sample_hash(sf_dir: str, pct: int = 25) -> pd.DataFrame:
+    """Deterministic hash sampling: keep a doc iff md5(doc_id) % 100 < pct.
+
+    The sampling decision is a pure map-side filter (no RNG, no state, no
+    shuffle), so it is reproducible across reruns, resumable per shard and
+    embarrassingly parallel at any corpus size; the reported per-source
+    counts shrink to one row per source before leaving the tasks."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def keep_sampled(batch: pa.Table) -> pa.Table:
+        coin = _md5_mod100(batch.column("doc_id").to_numpy())
+        return batch.filter(pa.array(coin < pct))
+
+    return grouped_stats(
+        ds.map_batches(keep_sampled, batch_format="pyarrow"), ["source"], "n_chars"
+    )
+
+
+def q_documents_sample_stratified(sf_dir: str) -> pd.DataFrame:
+    """Stratified deterministic sampling: per-source keep-rates (a tiny
+    policy table derived from the source id here; in production a
+    broadcast dict) applied as the same map-side md5 coin."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def keep_sampled(batch: pa.Table) -> pa.Table:
+        coin = _md5_mod100(batch.column("doc_id").to_numpy())
+        suffix = np.array(
+            [int(s[3:]) for s in batch.column("source").to_pylist()], dtype=np.int64
+        )
+        rate = 10 + 4 * (suffix % 20)
+        return batch.filter(pa.array(coin < rate.astype(np.uint64)))
+
+    return grouped_stats(
+        ds.map_batches(keep_sampled, batch_format="pyarrow"), ["source"], "n_chars"
+    )
+
+
+def q_documents_heavy_hitters(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Exact corpus-level heavy hitters: top-k words by frequency.
+
+    Per-batch np.unique collapses each batch to its distinct words before
+    the shuffle (the combiner bounds shuffle rows by vocabulary, not corpus
+    size), the per-word merge is a distributed groupby, and only k rows per
+    output block reach the driver — the q_events_user_topk shape over text."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        words = np.concatenate([np.array(t.split(" ")) for t in texts])
+        w, c = np.unique(words, return_counts=True)
+        return pa.table({"word": pa.array(w.tolist(), pa.string()),
+                         "c": pa.array(c, pa.int64())})
+
+    counts = (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("c"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["sum(c)", "word"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = counts.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    g = partials.rename(columns={"sum(c)": "cnt"})
+    g = g.sort_values(["cnt", "word"], ascending=[False, True]).head(k)
+    g["cnt"] = g["cnt"].astype("int64")
+    return g[["word", "cnt"]].reset_index(drop=True)
+
+
+def _length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Distributed exact value-count histogram of n_chars per source.
+
+    Shuffle rows are bounded by (sources x distinct integer lengths) — the
+    value DOMAIN, not the corpus — which is what makes exact distributed
+    order statistics tractable for integer-valued metrics at any scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["source", "n_chars"], observed=True).size().rename("c")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum("c"))
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+    )
+
+
+def _disc_quantiles(hist: pd.DataFrame, qs: tuple[float, ...]) -> pd.DataFrame:
+    """Exact discrete quantiles from a merged value-count histogram,
+    matching DuckDB quantile_disc: element at index ceil(q*n) - 1 of the
+    sorted values (verified against DuckDB 1.x on integer inputs)."""
+    import math
+
+    rows = []
+    for src, grp in hist.groupby("source"):
+        grp = grp.sort_values("n_chars")
+        vals = grp["n_chars"].to_numpy()
+        cum = grp["c"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"source": src}
+        for q in qs:
+            idx = max(0, math.ceil(q * n) - 1)
+            row[f"p{int(q * 100)}"] = int(vals[np.searchsorted(cum, idx + 1)])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    for c in out.columns:
+        if c != "source":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def q_documents_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles (p25/p50/p75/p90) of document length per
+    source, via the bounded-domain histogram — no sort, no sampling, no
+    approximation."""
+    return _disc_quantiles(_length_histogram(sf_dir), (0.25, 0.5, 0.75, 0.9))
+
+
+def q_documents_length_buckets(sf_dir: str) -> pd.DataFrame:
+    """Quantile-bucket stratification: assign each doc its per-source
+    length quartile (0..3) and report per-(source, bucket) counts.
+
+    The quartile thresholds are the tiny exact-quantile table (one row per
+    source) broadcast into a second map-side pass — the classic two-pass
+    stratification a curation pipeline runs before mixing training data."""
+    th = _disc_quantiles(_length_histogram(sf_dir), (0.25, 0.5, 0.75))
+    lut = {r.source: (r.p25, r.p50, r.p75) for r in th.itertuples()}
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        t = np.array([lut[s] for s in df["source"]], dtype=np.int64)
+        n = df["n_chars"].to_numpy()
+        bucket = (n > t[:, 0]).astype(np.int64) + (n > t[:, 1]) + (n > t[:, 2])
+        df["bucket"] = bucket
+        g = df.groupby(["source", "bucket"], observed=True).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(bucketize, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["source", "bucket"]).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+    ).reset_index()
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["sum_chars"] = g["sum_chars"].astype("int64")
+    return g.sort_values(["source", "bucket"]).reset_index(drop=True)
