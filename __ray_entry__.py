@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_heavy_hitters": q.q_documents_heavy_hitters,
         "documents_length_quantiles": q.q_documents_length_quantiles,
         "documents_length_buckets": q.q_documents_length_buckets,
+        "documents_split_assign": q.q_documents_split_assign,
+        "source_overlap_matrix": t.q_source_overlap_matrix,
         "dedup_exact": q.q_dedup_exact,
         "dedup_exact_keep_first": q.q_dedup_exact_keep_first,
         "embeddings_knn": q.q_embeddings_knn,
@@ -783,6 +785,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
             ORDER BY source
+        """,
+        "documents_split_assign": """
+            SELECT source,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80
+                        THEN 'train'
+                        WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+                        THEN 'val' ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "source_overlap_matrix": """
+            WITH grams AS (
+                SELECT DISTINCT source,
+                       unnest(CASE WHEN len(string_split(text, ' ')) < 3
+                              THEN [md5_number_lower(text)]
+                              ELSE list_distinct(list_transform(
+                                  generate_series(1, len(string_split(text, ' ')) - 2),
+                                  i -> md5_number_lower(array_to_string(
+                                           (string_split(text, ' '))[i:i+2], ' '))))
+                              END) AS h
+                FROM documents
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_shingles
+            FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "documents_length_buckets": """
             WITH th AS (

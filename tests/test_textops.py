@@ -412,3 +412,30 @@ def test_dedup_clusters_label_propagation_matches_union_find(ray_session):
     uf = t.q_dedup_clusters(SF)
     lp = t.q_dedup_clusters_lp(SF)
     pd.testing.assert_frame_equal(uf, lp)
+
+
+def test_source_overlap_matrix_vs_bruteforce(ray_session):
+    """The bitmask+GEMM overlap matrix must equal brute-force per-source
+    shingle-set intersections computed directly from the corpus."""
+    import itertools
+
+    import pyarrow.dataset as pads
+
+    from ts_pymfe_ray.pipelines.textops import (
+        _md5_shingles_batch, q_source_overlap_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tb = pads.dataset(f"{sf}/documents.parquet").to_table()
+    sets: dict = {}
+    srcs = tb.column("source").to_pylist()
+    for src, hs in zip(srcs, _md5_shingles_batch(tb.column("text").to_pylist())):
+        sets.setdefault(src, set()).update(hs.tolist())
+    expected = {
+        tuple(sorted((a, b))): len(sets[a] & sets[b])
+        for a, b in itertools.combinations(sets, 2)
+        if len(sets[a] & sets[b])
+    }
+    got = q_source_overlap_matrix(sf)
+    got_map = {(r.src_a, r.src_b): r.shared_shingles for r in got.itertuples()}
+    assert got_map == expected

@@ -1291,3 +1291,31 @@ def q_documents_length_buckets(sf_dir: str) -> pd.DataFrame:
     g["n_docs"] = g["n_docs"].astype("int64")
     g["sum_chars"] = g["sum_chars"].astype("int64")
     return g.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+
+def q_documents_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10) from the
+    same md5 coin as hash sampling: a pure map-side partition label, so
+    the split is reproducible, leakage-free (a doc's split never depends
+    on which shard or batch it arrived in) and consistent across reruns.
+    Reports per-(source, split) counts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        coin = _md5_mod100(batch.column("doc_id").to_numpy())
+        split = np.where(coin < 80, "train", np.where(coin < 90, "val", "test"))
+        df = pd.DataFrame({"source": batch.column("source").to_pylist(),
+                           "split": split,
+                           "n_chars": batch.column("n_chars").to_numpy()})
+        g = df.groupby(["source", "split"], observed=True).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["source", "split"]).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+    ).reset_index()
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["sum_chars"] = g["sum_chars"].astype("int64")
+    return g.sort_values(["source", "split"]).reset_index(drop=True)

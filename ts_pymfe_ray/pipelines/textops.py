@@ -1221,3 +1221,84 @@ def q_embeddings_ann_ivf(sf_dir: str, k: int = 5, query_vec_id: int = 0,
     out = partials.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def q_source_overlap_matrix(sf_dir: str) -> pd.DataFrame:
+    """Cross-source contamination matrix: for every source pair, the number
+    of DISTINCT word-3-shingles both corpora contain — the benchmark-
+    contamination / corpus-overlap check a curation pipeline runs before
+    mixing sources (set-intersection cardinalities, exact).
+
+    Shape: (1) per-batch distinct (shingle-hash, source) rows via the
+    vectorized md5 shingler; (2) global distinct via groupby(h, source);
+    (3) each source becomes one BIT in a per-h mask — after global
+    distinct every bit occurs at most once per h, so the builtin Sum
+    aggregate IS the bitwise OR; (4) one 64x64 GEMM per batch turns bit
+    matrices into pair co-occurrence counts, so only 64x64 partials reach
+    the driver.  Shuffles carry distinct-(h, source) rows, never the
+    corpus; >64 sources would shard the mask into multiple words."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        # explicit Arrow types end to end: an empty batch must still emit
+        # the (uint64, int64) schema or block unification degrades to
+        # pickled-object columns that the shuffle sort rejects
+        srcs = batch.column("source").to_pylist()
+        per_doc = _md5_shingles_batch(batch.column("text").to_pylist())
+        h = (np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64))
+        idx = np.repeat(
+            np.array([int(s[3:]) for s in srcs], dtype=np.int64),
+            [x.size for x in per_doc],
+        )
+        if idx.size and idx.max() > 62:
+            raise ValueError("source index exceeds single-word bitmask")
+        order = np.lexsort((idx, h))
+        hs, ix = h[order], idx[order]
+        keep = np.ones(hs.size, bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ix[1:] != ix[:-1])
+        # int64 bit-pattern view: Ray 2.49's aggregate path re-infers key
+        # columns as int64 and mangles uint64 values above 2^63 into
+        # pickled objects that the shuffle sort rejects
+        return pa.table({"h": pa.array(hs[keep].view(np.int64), pa.int64()),
+                         "src_idx": pa.array(ix[keep], pa.int64())})
+
+    distinct = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby(["h", "src_idx"])
+        .aggregate(Count())
+    )
+
+    def to_mask(batch: pa.Table) -> pa.Table:
+        idx = batch.column("src_idx").to_numpy()
+        return pa.table({"h": batch.column("h"),
+                         "mask": pa.array(np.int64(1) << idx, pa.int64())})
+
+    masks = (
+        distinct.map_batches(to_mask, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("mask"))  # Sum == OR: each bit set at most once per h
+    )
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        m = batch.column("sum(mask)").to_numpy().astype(np.uint64)
+        bits = np.unpackbits(m.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little").astype(np.int64)
+        co = bits.T @ bits  # (64, 64) pair co-occurrence over this batch
+        i, j = np.nonzero(np.triu(co, k=1))
+        return pa.table({"i": pa.array(i, pa.int64()), "j": pa.array(j, pa.int64()),
+                         "c": pa.array(co[i, j], pa.int64())})
+
+    partials = masks.map_batches(pair_counts, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["i", "j"])["c"].sum().reset_index()
+    names_a = [f"src{i}" for i in g["i"]]
+    names_b = [f"src{j}" for j in g["j"]]
+    # SQL twin orders pairs by STRING comparison; bit indices are numeric
+    src_a = [min(a, b) for a, b in zip(names_a, names_b)]
+    src_b = [max(a, b) for a, b in zip(names_a, names_b)]
+    out = pd.DataFrame({"src_a": src_a, "src_b": src_b,
+                        "shared_shingles": g["c"].astype("int64")})
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
