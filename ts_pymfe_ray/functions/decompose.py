@@ -392,6 +392,67 @@ def _loess_fit_points(
     return np.where(safe, out, y.mean() if n else np.nan)
 
 
+def _loess_matrix(x: np.ndarray, x0: np.ndarray, q: int) -> np.ndarray:
+    """The (len(x0), len(x)) linear operator W with W @ y ==
+    _loess_fit_points(x, y, x0, q) for every y (same weights/branches;
+    since sum_j w_ij * dx_ij == 0 the ybar term drops out of cov and the
+    degree-1 fit is y-linear: W = w/sw + ((x0-xbar)/var) * (w*dx)).
+    Degenerate rows (sw == 0) fall back to the uniform mean row."""
+    n = x.size
+    x0 = np.asarray(x0, dtype=np.float64)
+    q_eff = min(q, n)
+    d = np.abs(x[None, :] - x0[:, None])
+    if q_eff < n:
+        lam = np.partition(d, q_eff - 1, axis=1)[:, q_eff - 1]
+    else:
+        lam = d.max(axis=1) * max(1.0, q / n)
+    lam = np.where(lam <= 0, 1.0, lam)
+    w = _tricube(d / lam[:, None])
+    sw = w.sum(axis=1)
+    safe = sw > 0
+    sw = np.where(safe, sw, 1.0)
+    xbar = (w @ x) / sw
+    dx = x[None, :] - xbar[:, None]
+    var = (w * dx * dx).sum(axis=1)
+    with np.errstate(all="ignore"):
+        coef = np.where(var > 1e-12, (x0 - xbar) / var, 0.0)
+    W = w / sw[:, None] + coef[:, None] * (w * dx)
+    if not safe.all():
+        W[~safe] = 1.0 / n if n else np.nan
+    return W
+
+
+def _loess_equal_stack(Y: np.ndarray, q: int) -> np.ndarray:
+    """loess_equal applied to every ROW of the (G, m) stack in a few
+    vectorized ops: the interior is one shared convolution kernel, edge
+    points and the short-series branch are one weight-matrix GEMM.  Values
+    match the per-row path up to float reassociation (goldens compare at
+    rtol 1e-7)."""
+    G, m = Y.shape
+    if m == 0:
+        return Y.copy()
+    q = max(2, int(q))
+    x = np.arange(m, dtype=np.float64)
+    if q >= m:
+        return Y @ _loess_matrix(x, x, q).T
+    h = (q - 1) // 2
+    if h < 1:
+        return Y.copy()
+    offs = np.arange(-h, h + 1, dtype=np.float64)
+    w = _tricube(offs / h)
+    w = w / w.sum()
+    smooth = np.zeros_like(Y)
+    # 'same' convolution along axis 1 as 2h+1 shifted accumulations
+    for t in range(2 * h + 1):
+        k = t - h
+        lo, hi = max(0, -k), m - max(0, k)
+        smooth[:, lo:hi] += w[t] * Y[:, lo + k : hi + k]
+    edge = np.concatenate([np.arange(h), np.arange(m - h, m)])
+    We = _loess_matrix(x, x[edge].astype(np.float64), q)
+    smooth[:, edge] = Y @ We.T
+    return smooth
+
+
 def loess_equal(y: np.ndarray, q: int) -> np.ndarray:
     """Loess (degree 1, tricube) over equally spaced x for ALL points.
 
@@ -449,20 +510,38 @@ def stl_decompose(
 
     trend = np.zeros(n)
     season = np.zeros(n)
+    # cycle subseries grouped by length: s < r have m1 points, the rest
+    # m0 = m1 - 1, so the p per-subseries loess fits collapse into (at
+    # most) two stacked fits — a shared convolution + two weight-matrix
+    # GEMMs per group instead of ~2p tiny numpy calls per inner iter
+    m1 = -(-n // p)
+    r = n - (m1 - 1) * p if n % p else p  # s < r get m1 points
+    m0 = m1 - 1
+    groups = [(0, r, m1)] + ([(r, p, m0)] if r < p else [])
+    ext_W = {
+        m: _loess_matrix(
+            np.arange(m, dtype=np.float64),
+            np.array([-1.0, float(m)]),
+            min(s_len, m),
+        ).T
+        for _, _, m in groups
+    }
     for _ in range(inner_iter):
         detr = y - trend
         # cycle-subseries smoothing, extended one period each side
         C = np.empty(n + 2 * p)
-        for s in range(p):
-            sub = detr[s::p]
-            m = sub.size
-            xs = np.arange(m, dtype=np.float64)
-            smoothed = loess_equal(sub, s_len)
-            # extrapolate one position before and after
-            ext = _loess_fit_points(xs, sub, np.array([-1.0, float(m)]), min(s_len, m))
-            C[s] = ext[0]
-            C[p + s :: p][:m] = smoothed
-            C[p + s + m * p] = ext[1]
+        pad = np.empty(m1 * p)
+        pad[:n] = detr
+        M = pad.reshape(m1, p).T  # row s = detr[s::p] (+1 pad for s >= r)
+        S = np.empty((p, m1))
+        for lo, hi, m in groups:
+            Y = np.ascontiguousarray(M[lo:hi, :m])
+            S[lo:hi, :m] = _loess_equal_stack(Y, s_len)
+            ext = Y @ ext_W[m]  # (group, 2): one step before / after
+            ss = np.arange(lo, hi)
+            C[ss] = ext[:, 0]
+            C[p + m * p + ss] = ext[:, 1]
+        C[p : p + n] = S.T.ravel()[:n]
         # low-pass: MA(p) x MA(p) x MA(3), then loess(l_len)
         L = _ma(_ma(_ma(C, p), p), 3)  # length n + 2p - 2(p-1) - 2 = n
         L = loess_equal(L, l_len)

@@ -126,10 +126,13 @@ class _TSLinearSeasonal:
         self.period = max(2, period)
 
     def fit_series(self, y: np.ndarray):
+        # one-hot design -> orthogonal columns: the OLS (min-norm) solution
+        # is the per-position mean, 0.0 for unobserved positions — same
+        # values as lstsq on the dummy matrix without building it
         pos = np.arange(y.size) % self.period
-        X = np.zeros((y.size, self.period))
-        X[np.arange(y.size), pos] = 1.0
-        self.beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        cnt = np.bincount(pos, minlength=self.period)
+        s = np.bincount(pos, weights=y, minlength=self.period)
+        self.beta = np.divide(s, cnt, out=np.zeros(self.period), where=cnt > 0)
         self.n = y.size
         return self
 

@@ -76,9 +76,13 @@ register(FeatureKernel(
 
 
 def _resample_acf_stat(c: SeriesCtx, locmin: bool) -> np.ndarray:
+    # equal-size contiguous windows -> ONE batched FFT ACF pass instead of
+    # 128 per-window transforms (tolerance-compared surface, not bitwise)
+    W = np.stack(list(_samples(c.ts, c.rng, 128, 0.2)))
+    A = _st.acf_stack(W, nlags=W.shape[1] // 2)
     out = np.empty(128)
-    for k, w in enumerate(_samples(c.ts, c.rng, 128, 0.2)):
-        a = _st.acf(w, nlags=w.size // 2)
+    for k in range(128):
+        a = A[k]
         if locmin:
             pts = np.flatnonzero(_find_crit_pt(a, "min")) if a.size > 2 else np.array([])
         else:
