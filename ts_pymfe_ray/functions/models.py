@@ -150,13 +150,18 @@ class TSGaussianProcess:
 
 
 def ses_filter(y: np.ndarray, alpha: float, l0: float) -> np.ndarray:
-    """One-step-ahead fitted values of simple exponential smoothing."""
-    fitted = np.empty(y.size)
+    """One-step-ahead fitted values of simple exponential smoothing.
+
+    List-based scalar loop (the objective runs ~120x per fit); identical
+    float ops in identical order as an ndarray-indexed loop."""
+    yl = y.tolist()
+    fitted = [0.0] * len(yl)
     l = l0
-    for i in range(y.size):
+    one_m = 1 - alpha
+    for i, yi in enumerate(yl):
         fitted[i] = l
-        l = alpha * y[i] + (1 - alpha) * l
-    return fitted
+        l = alpha * yi + one_m * l
+    return np.array(fitted)
 
 
 class TSSES:
@@ -187,14 +192,21 @@ class TSSES:
 
 
 def holt_filter(y, alpha, beta, l0, b0, damped=False, phi=1.0):
-    fitted = np.empty(y.size)
+    # scalar-register loop; (l + phi*b) is reused for the level update —
+    # it is the same expression the original evaluated twice, so values
+    # are bitwise-identical while halving the per-step work
+    yl = np.asarray(y).tolist()
+    fitted = [0.0] * len(yl)
     l, b = l0, b0
-    for i in range(y.size):
-        fitted[i] = l + phi * b
-        l_new = alpha * y[i] + (1 - alpha) * (l + phi * b)
-        b = beta * (l_new - l) + (1 - beta) * phi * b
+    one_ma = 1 - alpha
+    one_mb = 1 - beta
+    for i, yi in enumerate(yl):
+        f = l + phi * b
+        fitted[i] = f
+        l_new = alpha * yi + one_ma * f
+        b = beta * (l_new - l) + one_mb * phi * b
         l = l_new
-    return fitted, l, b
+    return np.array(fitted), l, b
 
 
 class TSHolt:
@@ -248,24 +260,33 @@ class TSHoltWinters:
         self.damped = damped
 
     def _filter(self, y, a, b, g, phi, l0, b0, s0):
+        # list-based scalar loop, seasonal branch hoisted; float ops in
+        # the same order as the original ndarray-indexed version
         p = self.period
         l, bb = l0, b0
         s = list(s0)
-        fitted = np.empty(y.size)
-        for i in range(y.size):
-            si = s[i % p]
-            if self.seasonal == "add":
-                fitted[i] = l + phi * bb + si
-                l_new = a * (y[i] - si) + (1 - a) * (l + phi * bb)
-                s[i % p] = g * (y[i] - l_new) + (1 - g) * si
+        yl = np.asarray(y).tolist()
+        fitted = [0.0] * len(yl)
+        one_ma = 1 - a
+        one_mg = 1 - g
+        one_mb = 1 - b
+        add = self.seasonal == "add"
+        for i, yi in enumerate(yl):
+            k = i % p
+            si = s[k]
+            lev = l + phi * bb
+            if add:
+                fitted[i] = lev + si
+                l_new = a * (yi - si) + one_ma * lev
+                s[k] = g * (yi - l_new) + one_mg * si
             else:
-                fitted[i] = (l + phi * bb) * si
+                fitted[i] = lev * si
                 denom = si if si != 0 else 1e-12
-                l_new = a * (y[i] / denom) + (1 - a) * (l + phi * bb)
-                s[i % p] = g * (y[i] / (l_new if l_new != 0 else 1e-12)) + (1 - g) * si
-            bb = b * (l_new - l) + (1 - b) * phi * bb
+                l_new = a * (yi / denom) + one_ma * lev
+                s[k] = g * (yi / (l_new if l_new != 0 else 1e-12)) + one_mg * si
+            bb = b * (l_new - l) + one_mb * phi * bb
             l = l_new
-        return fitted, l, bb, s
+        return np.array(fitted), l, bb, s
 
     CAP = 384
 
@@ -326,11 +347,40 @@ class TSArima:
 
     def _css(self, w: np.ndarray, params) -> np.ndarray:
         p, q = self.p, self.q
-        c = params[0] if self.const else 0.0
+        c = float(params[0]) if self.const else 0.0
         off = 1 if self.const else 0
+        n = w.size
+        # scalar-register unrolls of the order combinations the landmark
+        # registry actually optimizes ((0,1) and (1,2) after differencing).
+        # Operation ORDER matches the generic loop exactly (same +=
+        # sequence, 0.0 terms included), so residuals — and therefore every
+        # Nelder-Mead trajectory — are bitwise-identical; the win is
+        # dropping per-step numpy indexing and the inner Python loops,
+        # which dominate the objective at ~600 evaluations per fit.
+        wl = w.tolist()
+        if p == 0 and q == 1:
+            m1 = float(params[off])
+            el = [0.0] * n
+            e1 = 0.0
+            for t in range(n):
+                e1 = wl[t] - (c + m1 * e1)
+                el[t] = e1
+            return np.array(el)
+        if p == 1 and q == 2:
+            a1 = float(params[off])
+            m1 = float(params[off + 1])
+            m2 = float(params[off + 2])
+            el = [0.0] * n
+            wprev = e1 = e2 = 0.0
+            for t in range(n):
+                cur = wl[t] - (((c + a1 * wprev) + m1 * e1) + m2 * e2)
+                el[t] = cur
+                e2 = e1
+                e1 = cur
+                wprev = wl[t]
+            return np.array(el)
         ar = params[off : off + p]
         ma = params[off + p : off + p + q]
-        n = w.size
         e = np.zeros(n)
         for t in range(n):
             pred = c
