@@ -47,7 +47,9 @@ def main(argv=None):
     ap.add_argument("--op", default="quality",
                     choices=["quality", "quality-filter", "dedup-exact",
                              "dedup-minhash", "dedup-simhash", "dedup-clusters",
-                             "lang-id", "fingerprints"],
+                             "lang-id", "fingerprints", "sample", "sample-stratified",
+                             "split", "heavy-hitters", "length-quantiles",
+                             "length-buckets", "overlap-matrix"],
                     help="text: which document operator to run")
     ap.add_argument("--sf-dir", default=None,
                     help="text: directory holding documents.parquet")
@@ -120,6 +122,14 @@ def main(argv=None):
             "dedup-clusters": t.q_dedup_clusters,
             "lang-id": t.q_lang_id,
             "fingerprints": t.q_doc_fingerprints,
+            # corpus-curation pack (round 4)
+            "sample": q.q_documents_sample_hash,
+            "sample-stratified": q.q_documents_sample_stratified,
+            "split": q.q_documents_split_assign,
+            "heavy-hitters": q.q_documents_heavy_hitters,
+            "length-quantiles": q.q_documents_length_quantiles,
+            "length-buckets": q.q_documents_length_buckets,
+            "overlap-matrix": t.q_source_overlap_matrix,
         }[args.op]
         df = op(args.sf_dir)
         if args.output:
