@@ -332,6 +332,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_length_buckets": q.q_documents_length_buckets,
         "documents_split_assign": q.q_documents_split_assign,
         "source_overlap_matrix": t.q_source_overlap_matrix,
+        # embedding-space ops: one Lloyd step is SQL-oracled; the iterated
+        # k-means reuses that exact per-pass machinery (rows-only)
+        "embeddings_kmeans_step": q.q_embeddings_kmeans_step,
+        "embeddings_kmeans": q.q_embeddings_kmeans,
+        "embeddings_label_centroids": q.q_embeddings_label_centroids,
         "dedup_exact": q.q_dedup_exact,
         "dedup_exact_keep_first": q.q_dedup_exact_keep_first,
         "embeddings_knn": q.q_embeddings_knn,
@@ -785,6 +790,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
             ORDER BY source
+        """,
+        "embeddings_kmeans_step": """
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+                FROM embeddings WHERE vec_id < 8
+            ), sims AS (
+                SELECT e.vec_id, c.cid,
+                       list_cosine_similarity(e.embedding::DOUBLE[], c.cemb) AS s
+                FROM embeddings e CROSS JOIN cents c
+            ), best AS (
+                SELECT vec_id, cid, s,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid) AS rn
+                FROM sims
+            )
+            SELECT cid AS cluster,
+                   COUNT(*) AS n_vecs,
+                   ROUND(SUM(1 - s), 6) AS inertia
+            FROM best WHERE rn = 1
+            GROUP BY cid
+            ORDER BY cid
+        """,
+        "embeddings_label_centroids": """
+            SELECT label,
+                   pos,
+                   ROUND(AVG(val), 6) AS mean_val
+            FROM (SELECT CAST(label AS BIGINT) AS label,
+                         unnest(embedding::DOUBLE[]) AS val,
+                         unnest(generate_series(1, len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY label, pos
+            ORDER BY label, pos
         """,
         "documents_split_assign": """
             SELECT source,

@@ -439,3 +439,20 @@ def test_source_overlap_matrix_vs_bruteforce(ray_session):
     got = q_source_overlap_matrix(sf)
     got_map = {(r.src_a, r.src_b): r.shared_shingles for r in got.itertuples()}
     assert got_map == expected
+
+
+def test_kmeans_zero_iters_equals_step_and_converges(ray_session):
+    """q_embeddings_kmeans with iters=0 must equal the SQL-oracled
+    single-step assignment exactly (same machinery), and Lloyd iterations
+    must not increase total inertia."""
+    from ts_pymfe_ray.pipelines.queries import (
+        q_embeddings_kmeans, q_embeddings_kmeans_step,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    step = q_embeddings_kmeans_step(sf)
+    zero = q_embeddings_kmeans(sf, iters=0)
+    assert step.equals(zero)
+    five = q_embeddings_kmeans(sf, iters=5)
+    assert five["inertia"].sum() <= step["inertia"].sum() + 1e-6
+    assert int(five["n_vecs"].sum()) == int(step["n_vecs"].sum())

@@ -1319,3 +1319,121 @@ def q_documents_split_assign(sf_dir: str) -> pd.DataFrame:
     g["n_docs"] = g["n_docs"].astype("int64")
     g["sum_chars"] = g["sum_chars"].astype("int64")
     return g.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- embedding-space operators
+
+
+def _load_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the embeddings of vec_id < k, pushdown-filtered
+    so only k rows leave storage."""
+    import pyarrow.compute as pc
+
+    tbl = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < k,
+    ).to_pandas().sort_values("vec_id")
+    return np.array(tbl["embedding"].tolist(), dtype=np.float64)
+
+
+def _kmeans_pass(sf_dir: str, cents: np.ndarray, want_sums: bool):
+    """One streaming Lloyd pass: cosine assignment via a single GEMM per
+    batch against the broadcast centroid matrix; emits per-cluster partial
+    (count, inertia[, vector sums]) — K rows (x dim) per batch, never the
+    corpus.  Ties pick the lowest centroid id (argmax-first == SQL
+    ORDER BY sim DESC, cid)."""
+    K, dim = cents.shape
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ cn.T) / norms[:, None]
+        assign = np.argmax(sims, axis=1)
+        cnt = np.bincount(assign, minlength=K)
+        inert = np.bincount(
+            assign, weights=1.0 - sims[np.arange(mat.shape[0]), assign], minlength=K
+        )
+        cols = {"cluster": pa.array(np.arange(K), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "inertia": pa.array(inert, pa.float64())}
+        if want_sums:
+            sums = np.zeros((K, dim))
+            np.add.at(sums, assign, mat)
+            for j in range(dim):
+                cols[f"s{j}"] = pa.array(sums[:, j], pa.float64())
+        return pa.table(cols)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+
+def q_embeddings_kmeans_step(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """One Lloyd assignment step of spherical k-means (cosine), centroids =
+    first k embeddings: per-cluster member count and inertia (sum of
+    1 - cosine).  SQL-oracled — the iterative variant shares this exact
+    machinery per pass."""
+    cents = _load_centroids(sf_dir, k)
+    p = _kmeans_pass(sf_dir, cents, want_sums=False)
+    g = p.groupby("cluster").agg(n_vecs=("n", "sum"), inertia=("inertia", "sum")).reset_index()
+    g = g[g["n_vecs"] > 0]
+    g["n_vecs"] = g["n_vecs"].astype("int64")
+    g["inertia"] = round_ha(g["inertia"].to_numpy())
+    return g.sort_values("cluster").reset_index(drop=True)
+
+
+def q_embeddings_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
+    """Distributed spherical k-means, `iters` Lloyd iterations: each pass
+    streams the corpus once (GEMM assignment per batch), reduces K x (dim+2)
+    partial rows, and the driver recombines centroids (empty clusters keep
+    their previous centroid).  Rows-only (iterative); every per-pass
+    building block is the SQL-oracled q_embeddings_kmeans_step machinery."""
+    cents = _load_centroids(sf_dir, k)
+    dim = cents.shape[1]
+    scols = [f"s{j}" for j in range(dim)]
+    for _ in range(iters):
+        p = _kmeans_pass(sf_dir, cents, want_sums=True)
+        g = p.groupby("cluster")[["n"] + scols].sum()
+        cnt = g["n"].to_numpy()
+        sums = g[scols].to_numpy()
+        nz = cnt > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / cnt[nz, None]
+    p = _kmeans_pass(sf_dir, cents, want_sums=False)
+    g = p.groupby("cluster").agg(n_vecs=("n", "sum"), inertia=("inertia", "sum")).reset_index()
+    g = g[g["n_vecs"] > 0]
+    g["n_vecs"] = g["n_vecs"].astype("int64")
+    g["inertia"] = round_ha(g["inertia"].to_numpy())
+    return g.sort_values("cluster").reset_index(drop=True)
+
+
+def q_embeddings_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Element-wise per-label centroid (class prototype) in long format
+    (label, pos, mean_val): per-batch partial sums collapse each batch to
+    one (labels x dim) block, so the merge is label-domain-sized."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy()
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((u.size, mat.shape[1]))
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv)
+        dim = mat.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(u, dim).astype(np.int64), pa.int64()),
+            "pos": pa.array(np.tile(np.arange(1, dim + 1), u.size), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["label", "pos"]).agg(s=("s", "sum"), n=("n", "sum")).reset_index()
+    out = pd.DataFrame({
+        "label": g["label"].astype("int64"),
+        "pos": g["pos"].astype("int64"),
+        "mean_val": round_ha((g["s"] / g["n"]).to_numpy()),
+    })
+    return out.sort_values(["label", "pos"]).reset_index(drop=True)
