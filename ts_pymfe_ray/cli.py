@@ -34,7 +34,7 @@ def _ensure_ray(num_cpus: int | None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ts_pymfe_ray")
-    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention", "fast-features", "ingest-csv", "text"])
+    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention", "fast-features", "ingest-csv", "text", "embed"])
     ap.add_argument("--input", help="sequences parquet dir")
     ap.add_argument("--output", help="output dir (rollup/features)")
     ap.add_argument("--num-shards", type=int, default=8)
@@ -49,14 +49,15 @@ def main(argv=None):
                              "dedup-minhash", "dedup-simhash", "dedup-clusters",
                              "lang-id", "fingerprints", "sample", "sample-stratified",
                              "split", "heavy-hitters", "length-quantiles",
-                             "length-buckets", "overlap-matrix"],
-                    help="text: which document operator to run")
+                             "length-buckets", "overlap-matrix",
+                             "kmeans", "kmeans-step", "label-centroids", "knn"],
+                    help="text/embed: which operator to run")
     ap.add_argument("--sf-dir", default=None,
                     help="text: directory holding documents.parquet")
     args = ap.parse_args(argv)
 
-    if args.job == "text" and not args.sf_dir:
-        ap.error("--sf-dir is required for job 'text'")
+    if args.job in ("text", "embed") and not args.sf_dir:
+        ap.error(f"--sf-dir is required for job '{args.job}'")
     if args.job == "retention" and not args.output:
         ap.error("--output (the tier dir) is required for retention")
     if args.job in ("rollup", "features", "source-rollup", "bootstrap", "fast-features", "ingest-csv") and not args.input:
@@ -131,6 +132,21 @@ def main(argv=None):
             "length-buckets": q.q_documents_length_buckets,
             "overlap-matrix": t.q_source_overlap_matrix,
         }[args.op]
+        df = op(args.sf_dir)
+        if args.output:
+            df.to_parquet(args.output)
+        print(json.dumps({"op": args.op, "rows": len(df)}))
+    elif args.job == "embed":
+        from ts_pymfe_ray.pipelines import queries as q
+
+        op = {
+            "kmeans": q.q_embeddings_kmeans,
+            "kmeans-step": q.q_embeddings_kmeans_step,
+            "label-centroids": q.q_embeddings_label_centroids,
+            "knn": q.q_embeddings_knn,
+        }.get("kmeans" if args.op == "quality" else args.op)
+        if op is None:
+            ap.error("embed supports --op kmeans|kmeans-step|label-centroids|knn")
         df = op(args.sf_dir)
         if args.output:
             df.to_parquet(args.output)
