@@ -453,13 +453,15 @@ def _loess_equal_stack(Y: np.ndarray, q: int) -> np.ndarray:
     return smooth
 
 
-def loess_equal(y: np.ndarray, q: int) -> np.ndarray:
+def loess_equal(y: np.ndarray, q: int, cache: dict | None = None) -> np.ndarray:
     """Loess (degree 1, tricube) over equally spaced x for ALL points.
 
     Interior points have symmetric windows, where the weighted linear fit
     reduces to a fixed-kernel weighted average (the slope term cancels) —
-    one np.convolve call.  Edge points fall back to explicit local fits.
-    """
+    one np.convolve call.  Edge points fall back to explicit local fits;
+    the edge operator depends only on (n, q), so callers that smooth
+    several same-shape series (STL's inner iterations) can pass a `cache`
+    dict to build each W once — W @ y is y-linear, values identical."""
     y = np.asarray(y, dtype=np.float64)
     n = y.size
     if n == 0:
@@ -467,7 +469,12 @@ def loess_equal(y: np.ndarray, q: int) -> np.ndarray:
     q = max(2, int(q))
     if q >= n:
         x = np.arange(n, dtype=np.float64)
-        return _loess_fit_points(x, y, x, q)
+        if cache is None:
+            return _loess_fit_points(x, y, x, q)
+        W = cache.get((n, q, "full"))
+        if W is None:
+            W = cache[(n, q, "full")] = _loess_matrix(x, x, q)
+        return W @ y
     h = (q - 1) // 2
     if h < 1:
         return y.copy()
@@ -479,7 +486,14 @@ def loess_equal(y: np.ndarray, q: int) -> np.ndarray:
     x = np.arange(n, dtype=np.float64)
     edge = np.concatenate([np.arange(h), np.arange(n - h, n)])
     if edge.size:
-        smooth[edge.astype(int)] = _loess_fit_points(x, y, x[edge], q)
+        if cache is None:
+            smooth[edge.astype(int)] = _loess_fit_points(x, y, x[edge], q)
+        else:
+            We = cache.get((n, q, "edge"))
+            if We is None:
+                We = cache[(n, q, "edge")] = _loess_matrix(
+                    x, x[edge].astype(np.float64), q)
+            smooth[edge.astype(int)] = We @ y
     return smooth
 
 
@@ -510,6 +524,7 @@ def stl_decompose(
 
     trend = np.zeros(n)
     season = np.zeros(n)
+    _wcache: dict = {}  # per-call (n, q) -> edge/full loess operator
     # cycle subseries grouped by length: s < r have m1 points, the rest
     # m0 = m1 - 1, so the p per-subseries loess fits collapse into (at
     # most) two stacked fits — a shared convolution + two weight-matrix
@@ -544,9 +559,9 @@ def stl_decompose(
         C[p : p + n] = S.T.ravel()[:n]
         # low-pass: MA(p) x MA(p) x MA(3), then loess(l_len)
         L = _ma(_ma(_ma(C, p), p), 3)  # length n + 2p - 2(p-1) - 2 = n
-        L = loess_equal(L, l_len)
+        L = loess_equal(L, l_len, cache=_wcache)
         season = C[p : p + n] - L
-        trend = loess_equal(y - season, t_len)
+        trend = loess_equal(y - season, t_len, cache=_wcache)
     resid = y - trend - season
     return trend, season, resid
 
