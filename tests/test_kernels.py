@@ -373,3 +373,36 @@ def test_stacked_precompute_bitwise_parity():
                 assert got is None or np.isnan(got), (i, k, v, got)
             else:
                 assert got == v, (i, k, v, got)
+
+
+def test_resample_vectorized_paths_match_per_row():
+    """resample_std's axis-reduction and _resample_acf_stat's vectorized
+    crit-point scan must equal their per-row twins bitwise on the same
+    windows (np.std axis== per-row np.std; elementwise comparisons make
+    first-hit indices identical)."""
+    import numpy as np
+
+    from ts_pymfe_ray.functions.kernels_general import _find_crit_pt
+    from ts_pymfe_ray.functions import stats as _st
+
+    rng = np.random.default_rng(11)
+    W = rng.standard_normal((64, 51)) * 37 + 5
+    assert np.array_equal(
+        np.std(W, axis=1, ddof=1),
+        np.array([np.std(w, ddof=1) for w in W]),
+    )
+    A = _st.acf_stack(W, nlags=25)
+    L = A.shape[1]
+    d1 = np.diff(A, axis=1)
+    crit = np.zeros((64, L), dtype=bool)
+    crit[:, 1:-1] = (d1[:, 1:] * d1[:, :-1] < 0) & (np.diff(d1, axis=1) > 0)
+    for k in range(64):
+        pts = np.flatnonzero(_find_crit_pt(A[k], "min"))
+        got = np.flatnonzero(crit[k])
+        assert np.array_equal(pts, got)
+        nonpos = np.flatnonzero(A[k] <= 0)
+        mask = A[k] <= 0
+        first = np.argmax(mask) if mask.any() else None
+        assert (first is None) == (nonpos.size == 0)
+        if first is not None:
+            assert first == nonpos[0]

@@ -66,10 +66,15 @@ def _samples(arr: np.ndarray, rng: np.random.Generator, num_samples: int, frac: 
     return (arr[s : s + size] for s in starts)
 
 
+def _resample_std(c: SeriesCtx) -> np.ndarray:
+    # equal-size windows: one axis-reduction (bitwise == per-row np.std,
+    # parity-asserted in tests/test_kernels.py)
+    W = np.stack(list(_samples(c.ts_scaled, c.rng, 64, 0.1)))
+    return np.std(W, axis=1, ddof=1)
+
+
 register(FeatureKernel(
-    "resample_std", "randomize",
-    lambda c: np.array([np.std(w, ddof=1)
-                        for w in _samples(c.ts_scaled, c.rng, 64, 0.1)]),
+    "resample_std", "randomize", _resample_std,
     returns_array=True, cost="medium",
     ref="randomize.py:604 (64 samples of 10% of the scaled series)",
 ))
@@ -77,18 +82,25 @@ register(FeatureKernel(
 
 def _resample_acf_stat(c: SeriesCtx, locmin: bool) -> np.ndarray:
     # equal-size contiguous windows -> ONE batched FFT ACF pass instead of
-    # 128 per-window transforms (tolerance-compared surface, not bitwise)
+    # 128 per-window transforms (tolerance-compared surface, not bitwise),
+    # and the crit-point / nonpos scan vectorized across all rows — the
+    # comparisons are elementwise, so first-hit indices match the per-row
+    # _find_crit_pt path exactly
     W = np.stack(list(_samples(c.ts, c.rng, 128, 0.2)))
     A = _st.acf_stack(W, nlags=W.shape[1] // 2)
-    out = np.empty(128)
-    for k in range(128):
-        a = A[k]
-        if locmin:
-            pts = np.flatnonzero(_find_crit_pt(a, "min")) if a.size > 2 else np.array([])
-        else:
-            pts = np.flatnonzero(a <= 0)
-        out[k] = pts[0] + 1 if pts.size else np.nan
-    return out
+    L = A.shape[1]
+    if locmin:
+        if L <= 2:
+            return np.full(128, np.nan)
+        d1 = np.diff(A, axis=1)
+        crit = np.zeros((128, L), dtype=bool)
+        crit[:, 1:-1] = (d1[:, 1:] * d1[:, :-1] < 0) & (np.diff(d1, axis=1) > 0)
+        mask = crit
+    else:
+        mask = A <= 0
+    has = mask.any(axis=1)
+    first = np.argmax(mask, axis=1).astype(np.float64)
+    return np.where(has, first + 1, np.nan)
 
 
 register(FeatureKernel(
@@ -111,9 +123,14 @@ def iaaft(ts: np.ndarray, rng: np.random.Generator, max_iter: int = 128,
     err_prev = -1.0
     ts_fft = np.fft.rfft(rng.permutation(ts))
     ts_sur = ts
+    rank = np.empty(ts.size, dtype=np.intp)
+    ar = np.arange(ts.size)
     for _ in range(max_iter):
         s = np.fft.irfft(ampl * ts_fft / (1e-8 + np.abs(ts_fft)), n=ts.size).real
-        ts_sur = srt[np.argsort(np.argsort(s))]
+        # rank via scatter: argsort of a permutation is its exact inverse,
+        # so this equals argsort(argsort(s)) bitwise at half the sort cost
+        rank[np.argsort(s)] = ar
+        ts_sur = srt[rank]
         ts_fft = np.fft.rfft(ts_sur)
         err_cur = float(np.sqrt(np.mean((ampl**2 - np.abs(ts_fft) ** 2) ** 2)))
         if abs(err_cur - err_prev) <= atol + rtol * abs(err_prev):
