@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": t.q_source_overlap_matrix,
         # embedding-space ops: one Lloyd step is SQL-oracled; the iterated
         # k-means reuses that exact per-pass machinery (rows-only)
+        "documents_longest_per_source": q.q_documents_longest_per_source,
         "embeddings_kmeans_step": q.q_embeddings_kmeans_step,
         "embeddings_kmeans": q.q_embeddings_kmeans,
         "embeddings_label_centroids": q.q_embeddings_label_centroids,
@@ -790,6 +791,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
             ORDER BY source
+        """,
+        "documents_longest_per_source": """
+            SELECT source, rank, doc_id, n_chars
+            FROM (SELECT source, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY n_chars DESC, doc_id)
+                             AS rank
+                  FROM documents)
+            WHERE rank <= 3
+            ORDER BY source, rank
         """,
         "embeddings_kmeans_step": """
             WITH cents AS (

@@ -1437,3 +1437,28 @@ def q_embeddings_label_centroids(sf_dir: str) -> pd.DataFrame:
         "mean_val": round_ha((g["s"] / g["n"]).to_numpy()),
     })
     return out.sort_values(["label", "pos"]).reset_index(drop=True)
+
+
+def q_documents_longest_per_source(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k ranking (the PARTITION BY ... ORDER BY ... LIMIT k
+    idiom): the k longest docs per source, ties broken by doc_id.  Partial
+    top-k inside every batch bounds the merge at k rows per (batch,
+    source) — the corpus never co-locates per group."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("source", observed=True).head(k),
+                                    preserve_index=False)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    p = p.sort_values(["source", "n_chars", "doc_id"],
+                      ascending=[True, False, True])
+    out = p.groupby("source", observed=True).head(k).copy()
+    out["rank"] = out.groupby("source").cumcount() + 1
+    out = out[["source", "rank", "doc_id", "n_chars"]]
+    for c in ("rank", "doc_id", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "rank"]).reset_index(drop=True)
