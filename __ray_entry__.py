@@ -335,6 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding-space ops: one Lloyd step is SQL-oracled; the iterated
         # k-means reuses that exact per-pass machinery (rows-only)
         "documents_longest_per_source": q.q_documents_longest_per_source,
+        # the flagship curation composition: quality gate -> keep-first
+        # dedup -> hash sample -> salted split -> report, one lazy plan,
+        # hash-exact END TO END against a five-CTE twin
+        "curation_pipeline": t.q_curation_pipeline,
         "embeddings_kmeans_step": q.q_embeddings_kmeans_step,
         "embeddings_kmeans": q.q_embeddings_kmeans,
         "embeddings_label_centroids": q.q_embeddings_label_centroids,
@@ -1629,6 +1633,45 @@ def oracle_sql() -> dict[str, str]:
             FROM k
             GROUP BY source
             ORDER BY source
+        """
+    d["curation_pipeline"] = f"""
+            WITH q AS (
+                SELECT source, doc_id, text,
+                       len(string_split(text, ' ')) AS nw,
+                       len(list_filter(string_split(text, ' '),
+                                       w -> w IN ({_STOP_SQL}))) AS n_stop,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+            ), k AS (
+                SELECT source, doc_id, text, n_chars FROM q
+                WHERE nw BETWEEN 30 AND 5000
+                  AND n_stop * 100 >= nw * 10
+                  AND n_punct * 100 <= n_chars * 5
+            ), w AS (
+                SELECT MIN(doc_id) AS doc_id,
+                       arg_min(source, doc_id) AS source,
+                       MIN(n_chars) AS n_chars
+                FROM k GROUP BY text
+            ), s AS (
+                SELECT * FROM w
+                WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 50
+            ), a AS (
+                SELECT source, n_chars,
+                       CASE WHEN md5_number_lower(
+                                CAST(doc_id AS VARCHAR) || ':split') % 100 < 80
+                            THEN 'train'
+                            WHEN md5_number_lower(
+                                CAST(doc_id AS VARCHAR) || ':split') % 100 < 90
+                            THEN 'val' ELSE 'test' END AS split
+                FROM s
+            )
+            SELECT source, split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM a
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """
     d["seq_kernel_affine"] = f"""
             -- 8-kernel affine/integer-exact twin; see _q_seq_kernel_affine.

@@ -50,7 +50,8 @@ def main(argv=None):
                              "lang-id", "fingerprints", "sample", "sample-stratified",
                              "split", "heavy-hitters", "length-quantiles",
                              "length-buckets", "overlap-matrix",
-                             "kmeans", "kmeans-step", "label-centroids", "knn"],
+                             "kmeans", "kmeans-step", "label-centroids", "knn",
+                             "curate"],
                     help="text/embed: which operator to run")
     ap.add_argument("--sf-dir", default=None,
                     help="text: directory holding documents.parquet")
@@ -131,6 +132,7 @@ def main(argv=None):
             "length-quantiles": q.q_documents_length_quantiles,
             "length-buckets": q.q_documents_length_buckets,
             "overlap-matrix": t.q_source_overlap_matrix,
+            "curate": t.q_curation_pipeline,
         }[args.op]
         df = op(args.sf_dir)
         if args.output:

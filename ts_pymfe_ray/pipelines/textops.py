@@ -1302,3 +1302,84 @@ def q_source_overlap_matrix(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({"src_a": src_a, "src_b": src_b,
                         "shared_shingles": g["c"].astype("int64")})
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+def q_curation_pipeline(sf_dir: str, sample_pct: int = 50) -> pd.DataFrame:
+    """END-TO-END curation: quality filter -> exact dedup keep-first ->
+    deterministic hash sample -> train/val/test split -> per-(source,
+    split) report.  Every stage is the engine's production shape chained
+    in ONE lazy Dataset plan:
+
+    1. map-side quality gate (integer rules, `_quality_signals_batch`);
+    2. keep-first dedup as a distributed groupby on the 128-bit text
+       hash — the winner's (doc_id, source) ride the Min aggregate as one
+       packed int64 (doc_id*64 + source_idx is monotone in doc_id), so no
+       join ships winner attributes back;
+    3. md5-coin sampling on the surviving doc_ids;
+    4. split labels from a SALTED coin (md5(doc_id || ':split')) so the
+       sample and split decisions are independent;
+    5. bounded-domain (source, split) count/sum report.
+
+    The DuckDB twin mirrors all five stages as CTEs — the whole pipeline
+    is hash-exact, not just its pieces."""
+    from ray.data.aggregate import Min
+
+    from ts_pymfe_ray.functions.md5vec import md5_lower64_list, md5_pair64, pack_bytes
+    from ts_pymfe_ray.pipelines.queries import _md5_mod100
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def gate_and_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        src = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        nw, n_chars, n_stop, n_punct, _ = _quality_signals_batch(texts)
+        keep = (
+            (nw >= 30) & (nw <= 5000)
+            & (n_stop * 100 >= nw * 10)
+            & (n_punct * 100 <= n_chars * 5)
+        )
+        kept = np.flatnonzero(keep)
+        lo, hi = md5_pair64(*pack_bytes([texts[i].encode() for i in kept]))
+        sidx = np.array([int(src[i][3:]) for i in kept], dtype=np.int64)
+        return pa.table({
+            "h_lo": pa.array(lo.view(np.int64), pa.int64()),
+            "h_hi": pa.array(hi.view(np.int64), pa.int64()),
+            "packed": pa.array(ids[kept] * 64 + sidx, pa.int64()),
+            "nc": pa.array(n_chars[kept].astype(np.int64), pa.int64()),
+        })
+
+    winners = (
+        ds.map_batches(gate_and_hash, batch_format="pyarrow")
+        .groupby(["h_lo", "h_hi"])
+        .aggregate(Min("packed"), Min("nc"))  # nc constant per text hash
+    )
+
+    def sample_split_report(batch: pa.Table) -> pa.Table:
+        packed = batch.column("min(packed)").to_numpy()
+        nc = batch.column("min(nc)").to_numpy()
+        doc_id = packed // 64
+        sidx = packed % 64
+        coin = _md5_mod100(doc_id)
+        m = coin < sample_pct
+        doc_id, sidx, nc = doc_id[m], sidx[m], nc[m]
+        salted = md5_lower64_list(
+            [f"{int(i)}:split".encode() for i in doc_id]
+        ) % np.uint64(100)
+        split = np.where(salted < 80, "train", np.where(salted < 90, "val", "test"))
+        df = pd.DataFrame({"source": [f"src{i}" for i in sidx],
+                           "split": split, "nc": nc})
+        g = df.groupby(["source", "split"], observed=True).agg(
+            n_docs=("nc", "size"), sum_chars=("nc", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = winners.map_batches(
+        sample_split_report, batch_format="pyarrow"
+    ).to_pandas()
+    g = partials.groupby(["source", "split"]).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+    ).reset_index()
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["sum_chars"] = g["sum_chars"].astype("int64")
+    return g.sort_values(["source", "split"]).reset_index(drop=True)
