@@ -164,6 +164,11 @@ def single_run(sf_dir: str, num_cpus: int, jobs: list[str]) -> dict:
         t0 = time.perf_counter()
         q_embeddings_ann_ivf(sf_dir)
         queries["ann_ivf"] = round(time.perf_counter() - t0, 3)
+        from ts_pymfe_ray.pipelines.textops import q_curation_pipeline
+
+        t0 = time.perf_counter()
+        q_curation_pipeline(sf_dir)
+        queries["curation_pipeline"] = round(time.perf_counter() - t0, 3)
     settle()
     if "events" in jobs and os.path.exists(os.path.join(sf_dir, "events.parquet")):
         from ts_pymfe_ray.pipelines.queries import q_events_window_rollup
