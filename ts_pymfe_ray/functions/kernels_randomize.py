@@ -16,19 +16,24 @@ from ts_pymfe_ray.functions import stats as _st
 from ts_pymfe_ray.functions.kernels_general import _find_crit_pt
 
 
-def _itrand_stat(c: SeriesCtx, func, strategy: str = "dist-dynamic",
-                 prop_rep: float = 2, prop_interval: float = 0.1) -> np.ndarray:
-    """Iterative perturbation sampling (randomize.py:175-312)."""
+def _itrand_snapshots(c: SeriesCtx, strategy: str = "dist-dynamic",
+                      prop_rep: float = 2, prop_interval: float = 0.1) -> np.ndarray:
+    """Iterative perturbation sampling (randomize.py:175-312): runs the
+    sequential perturbation walk and returns the (K, n) matrix of series
+    SNAPSHOTS at each report step, so callers can compute their statistic
+    over all snapshots in one stacked pass.  The rng draw (one integers()
+    call) is identical to the per-stat loop, preserving the shared
+    per-row stream's order for downstream kernels."""
     s = np.copy(c.ts_scaled)
     n = s.size
     rep_it = int(np.ceil(prop_interval * n))
     num_it = int(np.ceil(prop_rep * n))
     num_it += num_it % rep_it
-    out = np.zeros(1 + num_it // rep_it)
     src = c.ts_scaled if strategy == "dist-static" else s
     swap = strategy == "permute"
     rng = c.rng
     inds = rng.integers(n, size=(num_it, 2))
+    S = np.empty((1 + num_it // rep_it, n))
     k = 0
     for it, (a, b) in enumerate(inds):
         if swap:
@@ -36,24 +41,33 @@ def _itrand_stat(c: SeriesCtx, func, strategy: str = "dist-dynamic",
         else:
             s[a] = src[b]
         if it % rep_it == 0:
-            out[k] = func(s)
+            S[k] = s
             k += 1
-    return out[:k]
+    return S[:k]
 
 
 register(FeatureKernel(
     "itrand_mean", "randomize",
-    lambda c: _itrand_stat(c, np.mean),
+    # axis-mean over contiguous rows == per-row np.mean bitwise
+    lambda c: _itrand_snapshots(c).mean(axis=1),
     returns_array=True, cost="medium", ref="randomize.py:315",
 ))
 register(FeatureKernel(
     "itrand_sd", "randomize",
-    lambda c: _itrand_stat(c, lambda x: np.std(x, ddof=1)),
+    lambda c: np.std(_itrand_snapshots(c), axis=1, ddof=1),
     returns_array=True, cost="medium", ref="randomize.py:410",
 ))
+
+
+def _itrand_acf1(c: SeriesCtx) -> np.ndarray:
+    S = _itrand_snapshots(c)
+    if S.shape[1] <= 2:
+        return np.full(S.shape[0], np.nan)
+    return _st.acf_stack(S, nlags=1)[:, 0]
+
+
 register(FeatureKernel(
-    "itrand_acf", "randomize",
-    lambda c: _itrand_stat(c, lambda x: _st.acf(x, nlags=1)[0] if x.size > 2 else np.nan),
+    "itrand_acf", "randomize", _itrand_acf1,
     returns_array=True, cost="medium", ref="randomize.py:505 (lag-1 ACF)",
 ))
 
