@@ -68,6 +68,7 @@ def cv_score_sklearn_style(
     lm_sample_frac: float = 1.0,
     scale_range: tuple[float, float] | None = (0.0, 1.0),
     X: np.ndarray | None = None,
+    score_batch=None,
 ) -> np.ndarray:
     """X = linspace [0,1] timestamps; model.fit(X_tr, y_tr) /
     model.predict(X_te) (landmarking.py:36-146)."""
@@ -78,6 +79,7 @@ def cv_score_sklearn_style(
     if X is None:
         X = np.linspace(0.0, 1.0, y.size)
     res = np.full(num_cv_folds, np.nan)
+    pairs: list = [None] * num_cv_folds
     for i, (tr, te) in enumerate(time_series_splits(y.size, num_cv_folds)):
         try:
             scaler = MinMax() if scale_range is not None else None
@@ -86,10 +88,26 @@ def cv_score_sklearn_style(
             model = make_model()
             model.fit(X[tr], y_tr)
             pred = np.asarray(model.predict(X[te])).ravel()
-            res[i] = score(pred, y_te)
+            if score_batch is not None:
+                pairs[i] = (pred, y_te)
+            else:
+                res[i] = score(pred, y_te)
         except Exception:
             res[i] = np.nan
+    if score_batch is not None:
+        _apply_score_batch(res, pairs, score_batch)
     return res
+
+
+def _apply_score_batch(res: np.ndarray, pairs: list, score_batch) -> None:
+    """Fill res[i] for succeeded folds from ONE batched score call (fold
+    horizons are equal-length, so hooks can stack their work)."""
+    ok = [i for i, p in enumerate(pairs) if p is not None]
+    if ok:
+        vals = np.asarray(score_batch([pairs[i][0] for i in ok],
+                                      [pairs[i][1] for i in ok]))
+        for j, i in enumerate(ok):
+            res[i] = vals[j]
 
 
 def cv_score_forecast_style(
@@ -99,6 +117,7 @@ def cv_score_forecast_style(
     num_cv_folds: int = 5,
     lm_sample_frac: float = 1.0,
     scale_range: tuple[float, float] | None = (0.0, 1.0),
+    score_batch=None,
 ) -> np.ndarray:
     """statsmodels-flavor pipeline (landmarking.py:149-273): the model
     consumes the raw train series and forecasts the test horizon."""
@@ -106,6 +125,7 @@ def cv_score_forecast_style(
         k = int(np.ceil(y.size * lm_sample_frac))
         y = y[-k:]
     res = np.full(num_cv_folds, np.nan)
+    pairs: list = [None] * num_cv_folds
     for i, (tr, te) in enumerate(time_series_splits(y.size, num_cv_folds)):
         try:
             scaler = MinMax() if scale_range is not None else None
@@ -114,7 +134,12 @@ def cv_score_forecast_style(
             model = make_model()
             model.fit_series(y_tr)
             pred = np.asarray(model.forecast(te.size)).ravel()
-            res[i] = score(pred, y_te)
+            if score_batch is not None:
+                pairs[i] = (pred, y_te)
+            else:
+                res[i] = score(pred, y_te)
         except Exception:
             res[i] = np.nan
+    if score_batch is not None:
+        _apply_score_batch(res, pairs, score_batch)
     return res

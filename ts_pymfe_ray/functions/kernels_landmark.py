@@ -197,16 +197,46 @@ def _acf_first_nonpos_score(pred: np.ndarray, true: np.ndarray) -> float:
     return float(nonpos[0] + 1) if nonpos.size else np.nan
 
 
+def _acf_first_nonpos_score_batch(preds: list, trues: list) -> np.ndarray:
+    """All folds' scores in one pass: the fold horizons are equal-length,
+    so the SS detrend runs through the ragged batched SuperSmoother
+    (bitwise == per-fold) and the error ACFs through one stacked FFT
+    (tolerance surface).  Same per-fold semantics as
+    :func:`_acf_first_nonpos_score`."""
+    from ts_pymfe_ray.functions.decompose import supersmoother_ragged
+
+    errs = [np.asarray(p) - np.asarray(t) for p, t in zip(preds, trues)]
+    out = np.full(len(errs), np.nan)
+    valid = [i for i, e in enumerate(errs) if e.size >= 5]
+    if not valid:
+        return out
+    trends = supersmoother_ragged([errs[i] for i in valid])
+    detr = [errs[i] - tr for i, tr in zip(valid, trends)]
+    if len({d.size for d in detr}) == 1:
+        A = _st.acf_stack(np.stack(detr), nlags=detr[0].size // 2)
+        mask = A <= 0
+        has = mask.any(axis=1)
+        vals = np.where(has, np.argmax(mask, axis=1) + 1.0, np.nan)
+    else:  # ragged fallback (cannot happen with time_series_splits)
+        vals = np.empty(len(detr))
+        for j, d in enumerate(detr):
+            a = _st.acf(d, nlags=d.size // 2)
+            nonpos = np.flatnonzero(a <= 0)
+            vals[j] = nonpos[0] + 1 if nonpos.size else np.nan
+    out[valid] = vals
+    return out
+
+
 register(FeatureKernel(
     "model_mean_acf_first_nonpos", "landmarking",
     lambda c: _fc(c, lambda: _m.TSArima((0, 0, 0), const=True),
-                  score=_acf_first_nonpos_score),
+                  score_batch=_acf_first_nonpos_score_batch),
     returns_array=True, cost="medium",
     ref="landmarking.py:2178 (per-fold scores, detrended error ACF)",
 ))
 register(FeatureKernel(
     "model_linear_acf_first_nonpos", "landmarking",
-    lambda c: _sk(c, _m.TSLinear, score=_acf_first_nonpos_score),
+    lambda c: _sk(c, _m.TSLinear, score_batch=_acf_first_nonpos_score_batch),
     returns_array=True, cost="medium",
     ref="landmarking.py:2252",
 ))
