@@ -218,11 +218,9 @@ def _acf_first_nonpos_score_batch(preds: list, trues: list) -> np.ndarray:
         has = mask.any(axis=1)
         vals = np.where(has, np.argmax(mask, axis=1) + 1.0, np.nan)
     else:  # ragged fallback (cannot happen with time_series_splits)
-        vals = np.empty(len(detr))
-        for j, d in enumerate(detr):
-            a = _st.acf(d, nlags=d.size // 2)
-            nonpos = np.flatnonzero(a <= 0)
-            vals[j] = nonpos[0] + 1 if nonpos.size else np.nan
+        vals = np.array([
+            _acf_first_nonpos_score(preds[i], trues[i]) for i in valid
+        ])
     out[valid] = vals
     return out
 
