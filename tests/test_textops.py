@@ -456,3 +456,27 @@ def test_kmeans_zero_iters_equals_step_and_converges(ray_session):
     five = q_embeddings_kmeans(sf, iters=5)
     assert five["inertia"].sum() <= step["inertia"].sum() + 1e-6
     assert int(five["n_vecs"].sum()) == int(step["n_vecs"].sum())
+
+
+def test_curation_materialization_resume_and_report(ray_session, tmp_path):
+    """The persisted curation pipeline must (a) produce a per-(source,
+    split) report equal to the SQL-oracled counting query, (b) resume
+    instantly with an identical manifest fingerprint, and (c) recompute a
+    lost shard back to the same fingerprint and report."""
+    import os
+    import shutil
+
+    from ts_pymfe_ray.pipelines.curation import curated_report, run_curation
+    from ts_pymfe_ray.pipelines.textops import q_curation_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    r1 = run_curation(f"{sf}/documents.parquet", out, num_buckets=4)
+    oracle = q_curation_pipeline(sf)
+    assert curated_report(out).equals(oracle)
+    r2 = run_curation(f"{sf}/documents.parquet", out, num_buckets=4)
+    assert r2["fingerprint"] == r1["fingerprint"]
+    shutil.rmtree(os.path.join(out, "shard=1"))
+    r3 = run_curation(f"{sf}/documents.parquet", out, num_buckets=4)
+    assert r3["fingerprint"] == r1["fingerprint"]
+    assert curated_report(out).equals(oracle)

@@ -34,7 +34,7 @@ def _ensure_ray(num_cpus: int | None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ts_pymfe_ray")
-    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention", "fast-features", "ingest-csv", "text", "embed"])
+    ap.add_argument("job", choices=["rollup", "features", "source-rollup", "bootstrap", "synth", "retention", "fast-features", "ingest-csv", "text", "embed", "curate"])
     ap.add_argument("--input", help="sequences parquet dir")
     ap.add_argument("--output", help="output dir (rollup/features)")
     ap.add_argument("--num-shards", type=int, default=8)
@@ -138,6 +138,17 @@ def main(argv=None):
         if args.output:
             df.to_parquet(args.output)
         print(json.dumps({"op": args.op, "rows": len(df)}))
+    elif args.job == "curate":
+        import os as _os
+
+        from ts_pymfe_ray.pipelines.curation import run_curation
+
+        if not args.sf_dir or not args.output:
+            ap.error("curate requires --sf-dir and --output")
+        res = run_curation(_os.path.join(args.sf_dir, "documents.parquet"),
+                           args.output, num_buckets=args.num_shards,
+                           resume=not args.no_resume)
+        print(json.dumps(res))
     elif args.job == "embed":
         from ts_pymfe_ray.pipelines import queries as q
 

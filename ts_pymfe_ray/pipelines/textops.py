@@ -1372,7 +1372,13 @@ def q_curation_pipeline(sf_dir: str, sample_pct: int = 50) -> pd.DataFrame:
         g = df.groupby(["source", "split"], observed=True).agg(
             n_docs=("nc", "size"), sum_chars=("nc", "sum")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit schema: an empty partial must not degrade to null types
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "split": pa.array(g["split"].tolist(), pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+            "sum_chars": pa.array(g["sum_chars"].to_numpy(), pa.int64()),
+        })
 
     partials = winners.map_batches(
         sample_split_report, batch_format="pyarrow"
