@@ -197,7 +197,12 @@ def _dfa(c: SeriesCtx, pol_order: int = 1, overlap: bool = True) -> float:
         starts = np.arange(0, n - w + 1, max(1, step))
         if starts.size < 2:
             continue
-        seg = np.stack([walk[s : s + w] for s in starts])
+        # strided window view — no per-window copies; reductions read the
+        # same float64 operands as the stacked copy
+        st = walk.strides[0]
+        seg = np.lib.stride_tricks.as_strided(
+            walk[starts[0]:], shape=(starts.size, w),
+            strides=(st * (starts[1] - starts[0]), st))
         t = np.arange(w, dtype=np.float64)
         # vectorized order-1 polyfit per segment
         tm = t.mean()
