@@ -92,6 +92,14 @@ def main():
 
     import __ray_entry__ as e
 
+    # the seq_* oracle twins bind the sequences-cache glob from
+    # synth.LAST_DRIVER_SF at oracle_sql() CALL time (driver default
+    # 0.01); running at another sf requires setting it BEFORE fetching
+    # the SQL, or the twins read the wrong scale's cache
+    from ts_pymfe_ray.synth import LAST_DRIVER_SF, sf_from_dir
+
+    LAST_DRIVER_SF[0] = sf_from_dir(sf_dir)
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
