@@ -230,6 +230,28 @@ def scaling_run(sf_dir: str, pairs: tuple[tuple[int, int], ...] = ((2, 8), (8, 3
         }
 
     pair_results = [eff(s, b) for s, b in pairs]
+
+    # second, CPU-BOUND scaling witness: the feature pipeline (kernel
+    # compute, no codec/plasma byte traffic) at the 8 -> 32 pair that the
+    # memory-bound rollup cannot exploit on this box — shows the plateau
+    # is the fault/bandwidth path, not scheduler or shuffle overhead
+    feat: dict[int, float] = {}
+    for cpus in (8, 32):
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--single-run", "--jobs", "features", "--cpus", str(cpus),
+            "--sf-dir", sf_dir,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        feat[cpus] = json.loads(line)["throughput"]["features_seqs_per_sec"]
+    features_pair = {
+        "cpus_small": 8, "cpus_big": 32,
+        "seqs_per_sec_small": feat[8], "seqs_per_sec_big": feat[32],
+        "speedup": round(feat[32] / feat[8], 3),
+        "scaling_efficiency": round((feat[32] / feat[8]) / 4.0, 3),
+    }
+
     headline = pair_results[0]
     return {
         "cpus_small": headline["cpus_small"],
@@ -239,6 +261,7 @@ def scaling_run(sf_dir: str, pairs: tuple[tuple[int, int], ...] = ((2, 8), (8, 3
         "speedup": headline["speedup"],
         "scaling_efficiency": headline["scaling_efficiency"],
         "pairs": pair_results,
+        "features_pair_8_32": features_pair,
         "runs": results,
     }
 
