@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup -> hash sample -> salted split -> report, one lazy plan,
         # hash-exact END TO END against a five-CTE twin
         "curation_pipeline": t.q_curation_pipeline,
+        "decontaminate": t.q_decontaminate,
         "embeddings_kmeans_step": q.q_embeddings_kmeans_step,
         "embeddings_kmeans": q.q_embeddings_kmeans,
         "embeddings_label_centroids": q.q_embeddings_label_centroids,
@@ -849,6 +850,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "decontaminate": """
+            WITH grams AS (
+                SELECT source, doc_id,
+                       unnest(CASE WHEN len(string_split(text, ' ')) < 3
+                              THEN [md5_number_lower(text)]
+                              ELSE list_distinct(list_transform(
+                                  generate_series(1, len(string_split(text, ' ')) - 2),
+                                  i -> md5_number_lower(array_to_string(
+                                           (string_split(text, ' '))[i:i+2], ' '))))
+                              END) AS h
+                FROM documents
+            ), bench AS (
+                SELECT DISTINCT h FROM grams WHERE source = 'src0'
+            ), hit AS (
+                SELECT DISTINCT g.source, g.doc_id
+                FROM grams g JOIN bench USING (h)
+                WHERE g.source <> 'src0'
+            )
+            SELECT d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(COUNT(h.doc_id) AS BIGINT) AS n_dropped
+            FROM (SELECT source, doc_id FROM documents
+                  WHERE source <> 'src0') d
+            LEFT JOIN hit h ON d.source = h.source AND d.doc_id = h.doc_id
+            GROUP BY d.source
+            ORDER BY d.source
         """,
         "source_overlap_matrix": """
             WITH grams AS (

@@ -1389,3 +1389,56 @@ def q_curation_pipeline(sf_dir: str, sample_pct: int = 50) -> pd.DataFrame:
     g["n_docs"] = g["n_docs"].astype("int64")
     g["sum_chars"] = g["sum_chars"].astype("int64")
     return g.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+def q_decontaminate(sf_dir: str, benchmark_source: str = "src0") -> pd.DataFrame:
+    """Benchmark decontamination: count, per source, the docs that share
+    ANY word-3-shingle with the benchmark corpus (here: the docs of
+    ``benchmark_source``) — the removal gate run before training on data
+    that might contain eval material.
+
+    Scale shape: the benchmark side is small by definition, so its
+    distinct shingle-hash set is collected once and BROADCAST (ships with
+    the task closure, ray.put semantics); the corpus side is a pure
+    map-side membership probe (np.isin against the sorted benchmark
+    array) + bounded per-source count partials.  No shuffle at all."""
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    import pyarrow.compute as pc
+
+    bench_tbl = ray.data.read_parquet(
+        path, columns=["source", "text"],
+        filter=pc.field("source") == benchmark_source,
+    ).to_pandas()
+    bench = np.unique(np.concatenate(
+        _md5_shingles_batch(bench_tbl["text"].tolist()) or
+        [np.empty(0, np.uint64)]
+    ))
+
+    ds = ray.data.read_parquet(path, columns=["source", "text"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep = [i for i, s in enumerate(srcs) if s != benchmark_source]
+        per_doc = _md5_shingles_batch([texts[i] for i in keep])
+        hit = np.array(
+            [np.isin(hs, bench, assume_unique=True).any() for hs in per_doc]
+        ) if keep else np.empty(0, bool)
+        df = pd.DataFrame({"source": [srcs[i] for i in keep], "hit": hit})
+        g = df.groupby("source").agg(
+            n_docs=("hit", "size"), n_dropped=("hit", "sum")
+        ).reset_index()
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+            "n_dropped": pa.array(g["n_dropped"].to_numpy(), pa.int64()),
+        })
+
+    partials = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("source").agg(
+        n_docs=("n_docs", "sum"), n_dropped=("n_dropped", "sum")
+    ).reset_index()
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["n_dropped"] = g["n_dropped"].astype("int64")
+    return g.sort_values("source").reset_index(drop=True)
