@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_length_quantiles": q.q_documents_length_quantiles,
         "documents_length_buckets": q.q_documents_length_buckets,
         "documents_split_assign": q.q_documents_split_assign,
+        "documents_mix_uniform": q.q_documents_mix_uniform,
         "source_overlap_matrix": t.q_source_overlap_matrix,
         # embedding-space ops: one Lloyd step is SQL-oracled; the iterated
         # k-means reuses that exact per-pass machinery (rows-only)
@@ -838,6 +839,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY label, pos
             ORDER BY label, pos
+        """,
+        "documents_mix_uniform": """
+            WITH cnt AS (
+                SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+            ), rate AS (
+                SELECT source,
+                       (1000 * (SELECT MIN(c) FROM cnt)) // c AS r
+                FROM cnt
+            )
+            SELECT d.source,
+                   COUNT(*) AS n_chars_count,
+                   ROUND(SUM(n_chars), 6) AS n_chars_sum,
+                   ROUND(AVG(n_chars), 6) AS n_chars_mean,
+                   ROUND(MIN(n_chars), 6) AS n_chars_min,
+                   ROUND(MAX(n_chars), 6) AS n_chars_max
+            FROM documents d JOIN rate USING (source)
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < r
+            GROUP BY d.source
+            ORDER BY d.source
         """,
         "documents_split_assign": """
             SELECT source,

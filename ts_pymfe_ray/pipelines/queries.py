@@ -1462,3 +1462,41 @@ def q_documents_longest_per_source(sf_dir: str, k: int = 3) -> pd.DataFrame:
     for c in ("rank", "doc_id", "n_chars"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["source", "rank"]).reset_index(drop=True)
+
+
+def q_documents_mix_uniform(sf_dir: str) -> pd.DataFrame:
+    """Data mixing: downsample every source to the SMALLEST source's size
+    (uniform mixing proportions) with the deterministic md5 coin — the
+    two-pass mixing step a pretraining pipeline runs to hit target source
+    weights.  Pass 1 is a bounded-domain count; pass 2 broadcasts the tiny
+    integer per-mille rate table into a map-side filter.  Rates are
+    INTEGER arithmetic (1000 * min_cnt // cnt) so the SQL twin is exact
+    with no float thresholds."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("source", observed=True).size().rename("c").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas().groupby("source")["c"].sum()
+    )
+    min_cnt = int(counts.min())
+    rate = {s: (1000 * min_cnt) // int(c) for s, c in counts.items()}
+
+    def keep_mixed(batch: pa.Table) -> pa.Table:
+        from ts_pymfe_ray.functions.md5vec import md5_lower64_list
+
+        ids = batch.column("doc_id").to_numpy()
+        coin = md5_lower64_list(
+            [str(int(i)).encode() for i in ids]
+        ) % np.uint64(1000)
+        r = np.array([rate[s] for s in batch.column("source").to_pylist()],
+                     dtype=np.uint64)
+        return batch.filter(pa.array(coin < r))
+
+    return grouped_stats(
+        ds.map_batches(keep_mixed, batch_format="pyarrow"), ["source"], "n_chars"
+    )
