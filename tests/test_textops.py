@@ -480,3 +480,22 @@ def test_curation_materialization_resume_and_report(ray_session, tmp_path):
     r3 = run_curation(f"{sf}/documents.parquet", out, num_buckets=4)
     assert r3["fingerprint"] == r1["fingerprint"]
     assert curated_report(out).equals(oracle)
+
+
+def test_curation_stage1_loss_recovery(ray_session, tmp_path):
+    """Losing the stage-1 hash-bucketed intermediate AND a shard must
+    rebuild both and land on the same fingerprint and report."""
+    import os
+    import shutil
+
+    from ts_pymfe_ray.pipelines.curation import curated_report, run_curation
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    r1 = run_curation(f"{sf}/documents.parquet", out, num_buckets=4)
+    base = curated_report(out)
+    shutil.rmtree(os.path.join(out, "_stage1"))
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    r2 = run_curation(f"{sf}/documents.parquet", out, num_buckets=4)
+    assert r2["fingerprint"] == r1["fingerprint"]
+    assert curated_report(out).equals(base)
