@@ -479,3 +479,33 @@ def test_hash_sampling_deterministic_and_unbiased(ray_session):
     a = q_documents_sample_hash("/root/testdata/sf0.001")
     b = q_documents_sample_hash("/root/testdata/sf0.001")
     assert a.equals(b)
+
+
+def test_disc_quantiles_property_vs_duckdb():
+    """Property check: for arbitrary small integer multisets and quantile
+    levels, _disc_quantiles matches DuckDB quantile_disc exactly."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ts_pymfe_ray.pipelines.queries import _disc_quantiles
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                      min_size=1, max_size=60),
+        q=st.sampled_from([0.01, 0.1, 0.25, 0.33, 0.5, 0.66, 0.75, 0.9, 0.99]),
+    )
+    def check(vals, q):
+        u, c = np.unique(np.asarray(vals), return_counts=True)
+        hist = pd.DataFrame({"source": "s", "n_chars": u, "c": c})
+        got = int(_disc_quantiles(hist, (q,)).iloc[0][f"p{int(q * 100)}"])
+        exp = duckdb.sql(
+            f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest($v) AS x)",
+            params={"v": [int(v) for v in vals]},
+        ).fetchone()[0]
+        assert got == exp, (vals, q, got, exp)
+
+    check()
