@@ -51,7 +51,7 @@ def main(argv=None):
                              "split", "heavy-hitters", "length-quantiles",
                              "length-buckets", "overlap-matrix",
                              "kmeans", "kmeans-step", "label-centroids", "knn",
-                             "curate"],
+                             "curate", "decontaminate", "mix"],
                     help="text/embed: which operator to run")
     ap.add_argument("--sf-dir", default=None,
                     help="text: directory holding documents.parquet")
@@ -133,6 +133,8 @@ def main(argv=None):
             "length-buckets": q.q_documents_length_buckets,
             "overlap-matrix": t.q_source_overlap_matrix,
             "curate": t.q_curation_pipeline,
+            "decontaminate": t.q_decontaminate,
+            "mix": q.q_documents_mix_uniform,
         }[args.op]
         df = op(args.sf_dir)
         if args.output:
