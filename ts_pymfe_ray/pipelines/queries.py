@@ -1183,6 +1183,9 @@ def q_documents_heavy_hitters(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     def combiner(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        if not texts:  # empty block: keep the (string, int64) schema
+            return pa.table({"word": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
         words = np.concatenate([np.array(t.split(" ")) for t in texts])
         w, c = np.unique(words, return_counts=True)
         return pa.table({"word": pa.array(w.tolist(), pa.string()),
@@ -1347,6 +1350,8 @@ def _kmeans_pass(sf_dir: str, cents: np.ndarray, want_sums: bool):
 
     def partial(batch: pa.Table) -> pa.Table:
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if mat.size == 0:  # empty block: (0,) would break the GEMM
+            mat = mat.reshape(0, dim)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ cn.T) / norms[:, None]
@@ -1416,6 +1421,11 @@ def q_embeddings_label_centroids(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         labels = batch.column("label").to_numpy()
+        if labels.size == 0:  # empty block: keep the typed schema
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         u, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((u.size, mat.shape[1]))
