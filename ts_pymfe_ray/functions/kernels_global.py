@@ -290,9 +290,14 @@ register(FeatureKernel("exp_max_lyap", "global_stats", _lyap_r, cost="heavy",
                        ref="global_stats.py:644 (Rosenstein algorithm, numpy port)"))
 
 
-def _boxcox_llf(lmbda: float, x: np.ndarray) -> float:
+def _boxcox_llf(lmbda: float, x: np.ndarray,
+                logx: np.ndarray | None = None,
+                logx_sum: float | None = None) -> float:
     n = x.size
-    logx = np.log(x)
+    if logx is None:
+        logx = np.log(x)
+    if logx_sum is None:
+        logx_sum = logx.sum()
     if abs(lmbda) < 1e-12:
         y = logx
     else:
@@ -300,29 +305,33 @@ def _boxcox_llf(lmbda: float, x: np.ndarray) -> float:
     v = y.var()
     if v <= 0:
         return -np.inf
-    return float((lmbda - 1.0) * logx.sum() - n / 2.0 * np.log(v))
+    return float((lmbda - 1.0) * logx_sum - n / 2.0 * np.log(v))
 
 
 def _opt_boxcox_coef(c: SeriesCtx) -> float:
     """MLE Box-Cox lambda via golden-section search (reference
     global_stats.py:810 uses scipy.stats.boxcox_normmax(method='mle') on
-    ts - min + 1)."""
+    ts - min + 1).  log(x) and its sum are constants of the search —
+    hoisted once (bitwise-identical values in every evaluation)."""
     x = c.ts - c.ts.min() + 1.0
+    logx = np.log(x)
+    logx_sum = logx.sum()
+    llf = lambda lm: _boxcox_llf(lm, x, logx, logx_sum)  # noqa: E731
     lo, hi = -5.0, 5.0
     gr = (np.sqrt(5) - 1) / 2
     a, b = lo, hi
     c1 = b - gr * (b - a)
     c2 = a + gr * (b - a)
-    f1, f2 = _boxcox_llf(c1, x), _boxcox_llf(c2, x)
+    f1, f2 = llf(c1), llf(c2)
     for _ in range(80):
         if f1 < f2:
             a, c1, f1 = c1, c2, f2
             c2 = a + gr * (b - a)
-            f2 = _boxcox_llf(c2, x)
+            f2 = llf(c2)
         else:
             b, c2, f2 = c2, c1, f1
             c1 = b - gr * (b - a)
-            f1 = _boxcox_llf(c1, x)
+            f1 = llf(c1)
     return float((a + b) / 2)
 
 
