@@ -406,3 +406,27 @@ def test_resample_vectorized_paths_match_per_row():
         assert (first is None) == (nonpos.size == 0)
         if first is not None:
             assert first == nonpos[0]
+
+
+def test_ioe_fast_matches_generic_loop():
+    """ioe_stats_fast vs the generic calc_ioe_stats scan: tdelta-mean must
+    be bitwise (integer telescoping), the std flavor within 1e-10."""
+    import numpy as np
+
+    from ts_pymfe_ray.functions.kernels_global import (
+        calc_ioe_stats, ioe_stats_fast,
+    )
+
+    rng = np.random.default_rng(23)
+    for trial in range(25):
+        n = int(rng.integers(30, 600))
+        s = rng.standard_normal(n) * rng.uniform(0.5, 20)
+        if trial % 5 == 0:
+            s[rng.integers(0, n, 5)] *= 50  # heavy outliers
+        a = calc_ioe_stats(s, np.mean, differentiate=True)
+        b = ioe_stats_fast(s, "tdelta_mean")
+        assert np.array_equal(a, b), trial
+        a2 = calc_ioe_stats(s, lambda x: np.std(x, ddof=1) / np.sqrt(x.size))
+        b2 = ioe_stats_fast(s, "std_adj")
+        assert a2.shape == b2.shape, trial
+        assert np.allclose(a2, b2, rtol=0, atol=1e-10, equal_nan=True), trial

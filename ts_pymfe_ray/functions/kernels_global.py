@@ -107,8 +107,61 @@ def calc_ioe_stats(ts_scaled: np.ndarray, func, step_size: float = 0.05,
     return out[:it] if it < n_it else out
 
 
+def ioe_stats_fast(ts_scaled: np.ndarray, kind: str,
+                   step_size: float = 0.05, max_it: int = 1024) -> np.ndarray:
+    """:func:`calc_ioe_stats` for the two registry statistics without the
+    per-threshold O(n) scans: survivors at every threshold are a SUFFIX of
+    the |x|-value-sorted order, so survivor-index sums and extrema come
+    from prefix/suffix aggregates computed once.  The threshold sequence
+    keeps the generic loop's sequential `+= step` accumulation (bitwise
+    thresholds -> identical survivor counts).  'tdelta_mean' (mean of
+    index diffs == telescoping (last-first)/(m-1), exact integers) is
+    BITWISE-identical to the generic path; 'std_adj' (ddof-1 std of
+    survivor indices / sqrt(m)) uses the moment form on exact integer
+    sums and matches within ~1e-12 — parity gate in tests/test_kernels.py."""
+    ts_abs = np.abs(ts_scaled)
+    n = ts_abs.size
+    if n == 0:
+        return np.empty(0)
+    max_abs = ts_abs.max()
+    min_abs = ts_abs.min()
+    step = step_size * np.std(ts_abs)
+    if step <= 0:
+        return np.empty(0)
+    n_it = min(max_it, int(np.ceil(max_abs / step)))
+    order = np.argsort(ts_abs, kind="stable").astype(np.int64)
+    sv = ts_abs[order]
+    idxf = order.astype(np.float64)
+    cum_i = np.concatenate([[0.0], np.cumsum(idxf)])          # exact ints
+    cum_i2 = np.concatenate([[0.0], np.cumsum(idxf * idxf)])  # exact < 2^53
+    sufmin = np.minimum.accumulate(order[::-1])[::-1]
+    sufmax = np.maximum.accumulate(order[::-1])[::-1]
+    total_i, total_i2 = cum_i[-1], cum_i2[-1]
+    out = np.zeros(n_it)
+    threshold = min_abs
+    it = 0
+    lim = 0.02 * n
+    tdelta = kind == "tdelta_mean"
+    while it < n_it:
+        threshold += step
+        r = int(np.searchsorted(sv, threshold, side="left"))  # removed
+        m = n - r
+        if m < lim or m <= 1:
+            break
+        if tdelta:
+            out[it] = (sufmax[r] - sufmin[r]) / (m - 1)
+        else:
+            s1 = total_i - cum_i[r]
+            s2 = total_i2 - cum_i2[r]
+            meanv = s1 / m
+            var = (s2 - m * meanv * meanv) / (m - 1)
+            out[it] = np.sqrt(var if var > 0 else 0.0) / np.sqrt(m)
+        it += 1
+    return out[:it] if it < n_it else out
+
+
 def _ioe_tdelta_mean(c: SeriesCtx, normalize: bool = True) -> np.ndarray:
-    res = calc_ioe_stats(c.ts_scaled, np.mean, differentiate=True)
+    res = ioe_stats_fast(c.ts_scaled, "tdelta_mean")
     if normalize:
         res = 2 * res / c.ts.size - 1
     return res

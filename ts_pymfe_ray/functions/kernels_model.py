@@ -107,10 +107,9 @@ register(FeatureKernel("gaussian_r_sqr", "model_based", _gaussian_r_sqr,
 
 def _ioe_std_fit(c: SeriesCtx, step_size: float = 0.05) -> tuple[float, float]:
     def _fit():
-        ioe_std = calc_ioe_stats(
-            c.ts_scaled, lambda a: np.std(a, ddof=1) / np.sqrt(a.size),
-            step_size=step_size,
-        )
+        from ts_pymfe_ray.functions.kernels_global import ioe_stats_fast
+
+        ioe_std = ioe_stats_fast(c.ts_scaled, "std_adj", step_size=step_size)
         if ioe_std.size < 3:
             return (np.nan, np.nan)
         x = np.arange(ioe_std.size) * step_size
