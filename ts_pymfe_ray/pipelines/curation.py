@@ -103,6 +103,16 @@ def _curate_bucket(stage1_dir: str, k: int, sample_pct: int) -> pd.DataFrame:
 
 def run_curation(doc_path: str, out_dir: str, num_buckets: int = 8,
                  sample_pct: int = 50, resume: bool = True) -> dict:
+    lock = mf.AttemptLock(out_dir).acquire()
+    try:
+        return _run_curation_locked(doc_path, out_dir, num_buckets,
+                                    sample_pct, resume)
+    finally:
+        lock.release()
+
+
+def _run_curation_locked(doc_path: str, out_dir: str, num_buckets: int,
+                         sample_pct: int, resume: bool) -> dict:
     cfg = {"num_buckets": num_buckets, "sample_pct": sample_pct, "v": 1}
     stage1_dir = os.path.join(out_dir, _STAGE1)
     lineage = mf.lineage_hash([doc_path], cfg)
