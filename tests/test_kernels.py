@@ -430,3 +430,32 @@ def test_ioe_fast_matches_generic_loop():
         b2 = ioe_stats_fast(s, "std_adj")
         assert a2.shape == b2.shape, trial
         assert np.allclose(a2, b2, rtol=0, atol=1e-10, equal_nan=True), trial
+
+
+def test_cheb_nn_incremental_matches_broadcast():
+    """cheb_nn_curves (incremental max distance matrix) must equal the
+    per-dim (m, m, d) broadcast nn_inds_dists path bitwise — Chebyshev is
+    a max over coordinates, so the incremental update is exact."""
+    import numpy as np
+
+    from ts_pymfe_ray.functions.embed import (
+        cheb_nn_curves, embed_ts, nn_inds_dists,
+    )
+
+    rng = np.random.default_rng(31)
+    for n, lag in ((64, 1), (120, 3), (40, 7), (256, 2)):
+        s = rng.standard_normal(n)
+        s[rng.integers(0, n, 3)] = s[0]  # force some exact-duplicate points
+        got = {ind: (nn, dc, nd) for ind, nn, dc, nd in cheb_nn_curves(s, lag, 16)}
+        for ind, dim in enumerate(range(1, 17)):
+            try:
+                emb_next = embed_ts(s, dim=dim + 1, lag=lag)
+            except ValueError:
+                assert ind not in got
+                continue
+            nn, dist_cur = nn_inds_dists(emb_next[:, 1:])
+            nxt = np.abs(emb_next[:, 0] - emb_next[nn, 0])
+            g_nn, g_dc, g_nd = got[ind]
+            assert np.array_equal(nn, g_nn), (n, lag, dim)
+            assert np.array_equal(dist_cur, g_dc), (n, lag, dim)
+            assert np.array_equal(nxt, g_nd), (n, lag, dim)

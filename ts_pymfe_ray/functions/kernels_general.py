@@ -302,21 +302,14 @@ def _cao_curves(c: SeriesCtx, dims: int = 16):
     """Cao's E1/E2 curves (reference _embed.py:229-343), cached per row."""
 
     def _build():
-        from ts_pymfe_ray.functions.embed import embed_ts, nn_inds_dists
+        from ts_pymfe_ray.functions.embed import cheb_nn_curves
         from ts_pymfe_ray.functions.kernels_autocorr import embed_lag
 
         s = c.ts_scaled[-_CAO_CAP:]
         lag = embed_lag(c)
         ed = np.full(dims, np.nan)
         ed_star = np.full(dims, np.nan)
-        for ind, dim in enumerate(range(1, dims + 1)):
-            try:
-                emb_next = embed_ts(s, dim=dim + 1, lag=lag)
-                emb_cur = emb_next[:, 1:]
-            except ValueError:
-                continue
-            nn_inds, dist_cur = nn_inds_dists(emb_cur)
-            nxt_diff = np.abs(emb_next[:, 0] - emb_next[nn_inds, 0])
+        for ind, _nn, dist_cur, nxt_diff in cheb_nn_curves(s, lag, dims):
             dist_next = np.maximum(dist_cur, nxt_diff)
             with np.errstate(all="ignore"):
                 ed[ind] = np.mean(dist_next / dist_cur)
@@ -353,20 +346,13 @@ register(FeatureKernel("emb_dim_cao", "general", _emb_dim_cao, cost="heavy",
 
 
 def _fnn_prop(c: SeriesCtx, dims: int = 16, rtol_: float = 10, atol_: float = 2) -> np.ndarray:
-    from ts_pymfe_ray.functions.embed import embed_ts, nn_inds_dists
+    from ts_pymfe_ray.functions.embed import cheb_nn_curves
     from ts_pymfe_ray.functions.kernels_autocorr import embed_lag
 
     s = c.ts_scaled[-_CAO_CAP:]
     lag = embed_lag(c)
     out = np.full(dims, np.nan)
-    for ind, dim in enumerate(range(1, dims + 1)):
-        try:
-            emb_next = embed_ts(s, dim=dim + 1, lag=lag)
-            emb_cur = emb_next[:, 1:]
-        except ValueError:
-            continue
-        nn_inds, dist_cur = nn_inds_dists(emb_cur)
-        nxt_diff = np.abs(emb_next[:, 0] - emb_next[nn_inds, 0])
+    for ind, _nn, dist_cur, nxt_diff in cheb_nn_curves(s, lag, dims):
         dist_next = np.maximum(dist_cur, nxt_diff)
         crit1 = nxt_diff > rtol_ * dist_cur
         crit2 = dist_next > atol_ * 1.0
