@@ -103,7 +103,23 @@ class TSSine:
         w_guess = 2 * np.pi * np.abs(freqs[1 + int(np.argmax(fyy))])
         guess = np.array([np.std(y) * np.sqrt(2), w_guess, 0.0, np.mean(y)])
         fn = lambda t, A, w, p, c: A * np.sin(w * t + p) + c
-        self.p = curve_fit_sse(fn, X, y, guess)
+        # out-buffer objective: identical op order to fn (same SSE bits,
+        # same Nelder-Mead trajectory), ~5 fewer allocations per eval at
+        # ~650 evaluations per fold
+        u = np.empty_like(X, dtype=np.float64)
+
+        def sse(q):
+            A, w, p, c = q
+            with np.errstate(all="ignore"):
+                np.multiply(w, X, out=u)
+                np.add(u, p, out=u)
+                np.sin(u, out=u)
+                np.multiply(A, u, out=u)
+                np.add(u, c, out=u)
+                np.subtract(u, y, out=u)
+            return float(u @ u)
+
+        self.p = nelder_mead(sse, guess)
         self._fn = fn
         return self
 
@@ -119,7 +135,20 @@ class TSExp:
         b0 = y[-1] / y[-2] if y.size > 1 and y[-2] != 0 else 1.0
         guess = np.array([0.1, b0, 0.0])
         fn = lambda t, a, b, c: a * np.exp(np.clip(b * t, -700, 700)) + c
-        self.p = curve_fit_sse(fn, X, y, guess)
+        u = np.empty_like(X, dtype=np.float64)
+
+        def sse(q):
+            a, b, c = q
+            with np.errstate(all="ignore"):
+                np.multiply(b, X, out=u)
+                np.clip(u, -700, 700, out=u)
+                np.exp(u, out=u)
+                np.multiply(a, u, out=u)
+                np.add(u, c, out=u)
+                np.subtract(u, y, out=u)
+            return float(u @ u)
+
+        self.p = nelder_mead(sse, guess)
         self._fn = fn
         return self
 
