@@ -7,7 +7,6 @@ import numpy as np
 
 from ts_pymfe_ray.registry import FeatureKernel, SeriesCtx, register
 from ts_pymfe_ray.functions import stats as _st
-from ts_pymfe_ray.functions.embed import embed_ts
 from ts_pymfe_ray.functions.kernels_general import _discretize, _find_crit_pt
 
 
@@ -151,19 +150,37 @@ register(FeatureKernel("ami_curvature", "info_theory", _ami_curvature,
                        ref="info_theory.py:625-761 (doc_id-seeded noise, not global RNG)"))
 
 
+def _cheb_dists_two_dims(s: np.ndarray, dim: int, lag: int):
+    """Pairwise Chebyshev distance matrices of the dim- and (dim+1)-delay
+    embeddings, built incrementally: max over coordinates is order-free,
+    so D_{dim+1} = max(D_dim[:m', :m'], |new-column diffs|) — bitwise
+    equal to the (m, m, d) broadcast at a fraction of the traffic."""
+    x = np.asarray(s, dtype=np.float64)
+    n = x.size
+    m = n - (dim - 1) * lag
+    c0 = x[:m]
+    D = np.abs(c0[:, None] - c0[None, :])
+    for k in range(1, dim):
+        ck = x[k * lag : k * lag + m]
+        np.maximum(D, np.abs(ck[:, None] - ck[None, :]), out=D)
+    m2 = m - lag
+    cn = x[dim * lag : dim * lag + m2]
+    D2 = np.maximum(D[:m2, :m2], np.abs(cn[:, None] - cn[None, :]))
+    return D, D2
+
+
 def approx_entropy(ts_scaled: np.ndarray, embed_dim: int = 2, embed_lag_: int = 1,
                    threshold: float = 0.2, cap: int = 256) -> float:
     """ApEn (reference info_theory.py:764-837); chebyshev metric, O(m^2)
-    — input capped."""
+    — input capped, distance matrices shared between the two dims."""
     s = ts_scaled[-cap:] if ts_scaled.size > cap else ts_scaled
+    D, D2 = _cheb_dists_two_dims(s, embed_dim, embed_lag_)
 
-    def phi(dim: int) -> float:
-        emb = embed_ts(s, dim=dim, lag=embed_lag_)
-        d = np.max(np.abs(emb[:, None, :] - emb[None, :, :]), axis=2)
+    def phi(d: np.ndarray) -> float:
         with np.errstate(divide="ignore"):
             return float(np.mean(np.log(np.mean(d < threshold, axis=1))))
 
-    return phi(embed_dim) - phi(embed_dim + 1)
+    return phi(D) - phi(D2)
 
 
 def sample_entropy(ts_scaled: np.ndarray, embed_dim: int = 2, embed_lag_: int = 1,
@@ -171,16 +188,15 @@ def sample_entropy(ts_scaled: np.ndarray, embed_dim: int = 2, embed_lag_: int = 
     """SampEn (reference info_theory.py:840-914): log ratio of pair counts
     below threshold at dims m, m+1 (pdist: i<j pairs, self excluded)."""
     s = ts_scaled[-cap:] if ts_scaled.size > cap else ts_scaled
+    D, D2 = _cheb_dists_two_dims(s, embed_dim, embed_lag_)
 
-    def log_pairs(dim: int) -> float:
-        emb = embed_ts(s, dim=dim, lag=embed_lag_)
-        d = np.max(np.abs(emb[:, None, :] - emb[None, :, :]), axis=2)
+    def log_pairs(d: np.ndarray) -> float:
         iu = np.triu_indices(d.shape[0], k=1)
         cnt = int((d[iu] < threshold).sum())
         with np.errstate(divide="ignore"):
             return float(np.log(cnt))
 
-    return log_pairs(embed_dim) - log_pairs(embed_dim + 1)
+    return log_pairs(D) - log_pairs(D2)
 
 
 register(FeatureKernel(
