@@ -214,8 +214,13 @@ def scaling_run(sf_dir: str, pairs: tuple[tuple[int, int], ...] = ((2, 8), (8, 3
             "--single-run", "--jobs", "rollup", "--cpus", str(cpus), "--sf-dir", sf_dir,
         ]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) failed rc={proc.returncode}; "
+                f"stderr tail: {proc.stderr[-2000:]}"
+            )
+        results[cpus] = json.loads(lines[-1])
 
     def eff(small: int, big: int) -> dict:
         th_s = results[small]["throughput"]["rollup_tokens_per_sec"]
@@ -243,8 +248,13 @@ def scaling_run(sf_dir: str, pairs: tuple[tuple[int, int], ...] = ((2, 8), (8, 3
             "--sf-dir", sf_dir,
         ]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        feat[cpus] = json.loads(line)["throughput"]["features_seqs_per_sec"]
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"features scaling child (cpus={cpus}) failed rc={proc.returncode}; "
+                f"stderr tail: {proc.stderr[-2000:]}"
+            )
+        feat[cpus] = json.loads(lines[-1])["throughput"]["features_seqs_per_sec"]
     features_pair = {
         "cpus_small": 8, "cpus_big": 32,
         "seqs_per_sec_small": feat[8], "seqs_per_sec_big": feat[32],

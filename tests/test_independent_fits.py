@@ -507,3 +507,31 @@ def test_pacf_ols_against_fresh_regression():
         assert abs(got[k - 1] - exp) < 1e-9, (k, got[k - 1], exp)
     assert abs(got[1] + 0.3) < 0.08      # phi_22 == a2 for AR(2)
     assert np.all(np.abs(got[2:]) < 0.12)  # cuts off beyond p
+
+
+def test_pacf_ols_near_collinear_matches_lstsq():
+    """Adversarial conditioning case: an almost-pure linear trend makes the
+    lag windows strongly collinear (Gram matrix near-singular but still
+    numerically invertible).  The |beta_k| sanity bound must route these
+    to the rcond-regularized lstsq path, so pacf_ols stays within tolerance
+    of a fresh per-lag lstsq fit instead of returning a finite-but-wrong
+    normal-equations solve."""
+    from ts_pymfe_ray.functions.stats import pacf_ols
+
+    rng = np.random.default_rng(7)
+    n = 300
+    t = np.arange(n, dtype=np.float64)
+    for noise in (1e-9, 1e-7):
+        y = t + noise * rng.normal(size=n)
+        got = pacf_ols(y, nlags=6)
+        assert np.all(np.isfinite(got)), got
+        # fresh lstsq twin on the standardized series (coefficient is
+        # scale/shift-invariant; standardizing matches the impl's path)
+        x = (y - y.mean()) / y.std()
+        for k in range(1, 7):
+            X = np.ones((n - k, k + 1))
+            for j in range(1, k + 1):
+                X[:, j] = x[k - j : n - j]
+            beta, *_ = np.linalg.lstsq(X, x[k:], rcond=None)
+            exp = beta[k] * n / (n - k)
+            assert abs(got[k - 1] - exp) < 1e-6, (noise, k, got[k - 1], exp)

@@ -234,8 +234,21 @@ def pacf_ols(ts: np.ndarray, nlags: int | None = None, adjusted: bool = True) ->
         b = np.empty(k + 1)
         b[0] = sums[0]
         b[1:] = G[0, 1 : k + 1]
+        # Conditioning gate before trusting the normal-equations solve: a
+        # near-singular-but-invertible Gram matrix (near-constant or
+        # strongly collinear lag windows, e.g. an almost-pure trend)
+        # returns a finite-but-wrong coefficient without raising.  The
+        # Cholesky diagonal ratio squared is a cheap (O(k^3/6)) spectral
+        # condition proxy for SPD matrices; past ~1e8 the solve's accuracy
+        # can no longer honor the ~1e-9 lstsq-parity contract, so route to
+        # the rcond-regularized lstsq the reference semantics use.  A false
+        # trigger only costs the fallback's flops — both paths agree when
+        # the system is well-posed.
+        beta_k = np.nan
         try:
-            beta_k = float(np.linalg.solve(A, b)[k])
+            dl = np.diagonal(np.linalg.cholesky(A))
+            if dl.min() > 0 and (dl.max() / dl.min()) ** 2 < 1e8:
+                beta_k = float(np.linalg.solve(A, b)[k])
         except np.linalg.LinAlgError:
             beta_k = np.nan
         if not np.isfinite(beta_k):

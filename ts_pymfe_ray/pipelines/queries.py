@@ -247,9 +247,13 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
         src = batch.column("source").to_pylist()
         txt = batch.column("text").to_pylist()
         lo, hi = md5_pair64(*pack_bytes([t.encode() for t in txt]))
+        # int64 bit-pattern views: Ray 2.49 re-infers uint64 group keys
+        # above 2^63 as int64 in the aggregate path, overflows, and
+        # degrades to pickled-object columns the shuffle sort rejects.
+        # Dedup semantics are order-free, so the reinterpretation is safe.
         return pa.table({"source": pa.array(src, pa.string()),
-                         "h_lo": pa.array(lo, pa.uint64()),
-                         "h_hi": pa.array(hi, pa.uint64())})
+                         "h_lo": pa.array(lo.view(np.int64), pa.int64()),
+                         "h_hi": pa.array(hi.view(np.int64), pa.int64())})
 
     distinct = (
         ds.map_batches(combiner, batch_format="pyarrow")
@@ -271,23 +275,21 @@ def q_dedup_exact_keep_first(sf_dir: str) -> pd.DataFrame:
     groupby aggregate over content hashes; shuffles only (hash, doc_id)
     rows, never text.  Returns the kept doc_ids with their duplicate
     counts (the downstream pipeline reads the kept rows by id)."""
-    import hashlib
-
     from ray.data.aggregate import Count, Min
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def hash_rows(batch: pa.Table) -> pa.Table:
-        # full 128-bit digest as two uint64 group keys: a 64-bit key would
+        # full 128-bit digest as two group keys: a 64-bit key would
         # silently merge two distinct documents on a collision — negligible
-        # here but a real hazard at the 1e9-doc scale this targets
-        lo, hi = [], []
-        for t in batch.column("text").to_pylist():
-            d = hashlib.md5(t.encode()).digest()
-            lo.append(int.from_bytes(d[8:16], "little"))
-            hi.append(int.from_bytes(d[:8], "little"))
-        return pa.table({"h_lo": pa.array(lo, pa.uint64()),
-                         "h_hi": pa.array(hi, pa.uint64()),
+        # here but a real hazard at the 1e9-doc scale this targets.  Carried
+        # as int64 bit-pattern views (Ray 2.49 uint64 groupby-key overflow).
+        from ts_pymfe_ray.functions.md5vec import md5_pair64, pack_bytes
+
+        txt = batch.column("text").to_pylist()
+        lo, hi = md5_pair64(*pack_bytes([t.encode() for t in txt]))
+        return pa.table({"h_lo": pa.array(lo.view(np.int64), pa.int64()),
+                         "h_hi": pa.array(hi.view(np.int64), pa.int64()),
                          "doc_id": batch.column("doc_id")})
 
     g = (

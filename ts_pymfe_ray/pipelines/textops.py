@@ -111,7 +111,10 @@ def minhash_signatures_batch(shingle_lists: list[np.ndarray]) -> np.ndarray:
     # a zero-shingle doc would duplicate a reduceat offset and silently
     # return the NEXT doc's first value as this doc's minimum; the shingle
     # source guarantees >=1 window per doc — fail loudly if that changes
-    assert n == 0 or (sizes > 0).all(), "empty shingle set in minhash batch"
+    # (explicit raise so the guard survives `python -O`: the failure mode
+    # is silent cross-doc signature corruption)
+    if n > 0 and not (sizes > 0).all():
+        raise ValueError("empty shingle set in minhash batch")
     # fixed-size cache-resident work buffers reused across chunks — all
     # hot ops are in-place, no per-chunk large allocation
     chunk = 32768
@@ -1097,8 +1100,12 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     def combiner(batch: pa.Table) -> pa.Table:
         src = batch.column("source").to_pylist()
         fps = rolling_fingerprints_batch(batch.column("text").to_pylist())
+        # int64 bit-pattern view: Ray 2.49 uint64 groupby keys above 2^63
+        # overflow in the aggregate path (CLAUDE.md invariant); distinct
+        # counting is order-free so the reinterpretation is harmless.
         return pa.table({"source": pa.array(src, pa.string()),
-                         "fp": pa.array(fps, pa.uint64())})
+                         "fp": pa.array(np.asarray(fps, np.uint64).view(np.int64),
+                                        pa.int64())})
 
     distinct = (
         ds.map_batches(combiner, batch_format="pyarrow")

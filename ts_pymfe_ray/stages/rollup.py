@@ -252,8 +252,11 @@ class RollupStage:
         def _bin(data: np.ndarray, offsets: np.ndarray, valid: np.ndarray | None = None) -> pa.Array:
             # pa.binary() offsets are int32: a batch whose concatenated
             # encoded blobs exceed 2 GiB would silently wrap and corrupt
-            # tier output — fail loudly (the fix would be pa.large_binary)
-            assert int(offsets[-1]) < 2**31, "binary column exceeds int32 offsets"
+            # tier output — fail loudly (the fix would be pa.large_binary).
+            # Explicit raise, not assert: the failure mode is silent data
+            # corruption and must survive `python -O`.
+            if int(offsets[-1]) >= 2**31:
+                raise ValueError("binary column exceeds int32 offsets")
             bufs = [
                 None if valid is None else pa.py_buffer(
                     np.packbits(valid, bitorder="little").tobytes()),
