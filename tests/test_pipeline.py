@@ -509,3 +509,226 @@ def test_disc_quantiles_property_vs_duckdb():
         assert got == exp, (vals, q, got, exp)
 
     check()
+
+
+def _write_events(path, n_per_user, seed=5, days=30):
+    """Deterministic synthetic events table (user_id, ts, event_id, value)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    uid, ts, val = [], [], []
+    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    span_total = days * 24 * 3600 * 1_000_000
+    for u, n in n_per_user.items():
+        uid.append(np.full(n, u, dtype=np.int64))
+        # strictly increasing within user so (ts, event_id) order is stable
+        ts.append(t0 + (np.arange(n, dtype=np.int64) * (span_total // n)))
+        val.append(np.round(rng.normal(50.0, 20.0, size=n), 2))
+    uid = np.concatenate(uid)
+    ts = np.concatenate(ts)
+    val = np.concatenate(val)
+    eid = np.arange(uid.size, dtype=np.int64)  # global ids -> %10 gap pattern
+    etype = np.array(["click", "error", "view"], dtype=object)[eid % 3]
+    tbl = pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts.view("datetime64[us]")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(etype, pa.string()),
+        "value": pa.array(val, pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(path, "events.parquet"))
+    return pd.DataFrame({"event_id": eid, "ts": ts.view("datetime64[us]"),
+                         "user_id": uid, "event_type": etype, "value": val})
+
+
+def _ref_window_rollup(df, bucket=16):
+    """Whole-user-per-task reference form (the round-4 implementation)."""
+    import pandas as pd
+    from ts_pymfe_ray.functions.rounding import round_ha
+
+    out = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].to_numpy()
+        m = sk.compute_window_sketches(v, bucket)
+        m[:, sk.FIELDS.index("s1")] = sk.seq_window_sums(v, bucket)
+        f = sk.derive_features(m)
+        nw = m.shape[0]
+        out.append(pd.DataFrame({
+            "user_id": np.full(nw, uid, dtype=np.int64),
+            "window_id": np.arange(nw, dtype=np.int64),
+            "value_count": f["count"].astype(np.int64),
+            "value_mean": round_ha(f["mean"]),
+            "value_var": round_ha(f["var"]),
+        }))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["user_id", "window_id"]).reset_index(drop=True))
+
+
+def test_window_family_hot_user_distributed(ray_session, tmp_path_factory):
+    """A planted 10^6-event bot user must flow through the positional-window
+    engine without any single group materializing its history: the engine's
+    largest per-task unit is one (user, span) slice — assert the span
+    partitioning bounds it — and the distributed output must equal the
+    whole-user-per-task reference form exactly."""
+    import pandas as pd
+    from ts_pymfe_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("hotevents"))
+    df = _write_events(d, {0: 1_000_000, 1: 500, 2: 173, 3: 16})
+
+    # engine partitioning bound: no (user, span) group holds more than a
+    # span's worth of the bot's events (30 days -> ~33k/span), and the
+    # window groupby holds <= bucket rows by construction
+    span_us = 24 * 3600 * 1_000_000
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    per_span = pd.DataFrame({"u": df["user_id"], "s": ts_us // span_us}) \
+        .groupby(["u", "s"]).size()
+    assert per_span.max() < 50_000 < 1_000_000
+    assert per_span.loc[0].size >= 25  # the bot's history spans many groups
+
+    got = q.q_events_user_window_rollup(d)
+    exp = _ref_window_rollup(df)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == -(-1_000_000 // 16) + sum((-(-n // 16)) for n in (500, 173, 16))
+
+
+def test_window_family_distributed_matches_per_user(ray_session, tmp_path_factory):
+    """All five window-family queries: distributed positional-window engine
+    == whole-user reference form on a multi-user table (acf1 within the
+    documented c1 ulp-class tolerance, everything else exact)."""
+    import pandas as pd
+    from ts_pymfe_ray.functions.rounding import round_ha
+    from ts_pymfe_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("events2"))
+    df = _write_events(d, {7: 60_000, 8: 321, 9: 47}, seed=11)
+
+    pd.testing.assert_frame_equal(q.q_events_user_window_rollup(d),
+                                  _ref_window_rollup(df))
+
+    # 10x merge reference: merge_adjacent over per-user fine sketches
+    def ref_10x(bucket=16, factor=10):
+        out = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            v = g["value"].to_numpy()
+            fine = sk.compute_window_sketches(v, bucket)
+            s1 = sk.FIELDS.index("s1")
+            fine[:, s1] = sk.seq_window_sums(v, bucket)
+            merged = sk.merge_adjacent(fine, factor)
+            merged[:, s1] = sk.seq_window_sums(fine[:, s1], factor)
+            f = sk.derive_features(merged)
+            nw = merged.shape[0]
+            out.append(pd.DataFrame({
+                "user_id": np.full(nw, uid, dtype=np.int64),
+                "window_id": np.arange(nw, dtype=np.int64),
+                "value_count": f["count"].astype(np.int64),
+                "value_mean": round_ha(f["mean"]),
+                "value_var": round_ha(f["var"]),
+            }))
+        return (pd.concat(out, ignore_index=True)
+                .sort_values(["user_id", "window_id"]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(q.q_events_user_window_rollup_10x(d), ref_10x())
+
+    # acf1: c1 is the one sketch field whose isolated-window association
+    # differs by ~1 ulp from the whole-series path (documented); compare
+    # at the rounding quantum
+    def ref_acf1(bucket=16):
+        out = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            m = sk.compute_window_sketches(g["value"].to_numpy(), bucket)
+            f = sk.derive_features(m)
+            ok = (f["count"] == bucket) & np.isfinite(f["acf1"])
+            out.append(pd.DataFrame({
+                "user_id": np.full(int(ok.sum()), uid, dtype=np.int64),
+                "window_id": np.flatnonzero(ok).astype(np.int64),
+                "acf1": round_ha(f["acf1"][ok]),
+            }))
+        return (pd.concat(out, ignore_index=True)
+                .sort_values(["user_id", "window_id"]).reset_index(drop=True))
+
+    got, exp = q.q_events_user_window_acf1(d), ref_acf1()
+    pd.testing.assert_frame_equal(got[["user_id", "window_id"]],
+                                  exp[["user_id", "window_id"]])
+    assert np.allclose(got["acf1"], exp["acf1"], atol=2e-6, rtol=0)
+
+    # gap-fill: engine policy on the whole series, then windows
+    def ref_gapfill(bucket=16):
+        out = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            v = g["value"].to_numpy().copy()
+            missing = (g["event_id"].to_numpy() % 10) == 0
+            if missing.all():
+                continue
+            pos = np.arange(v.size)
+            valid = ~missing
+            vidx = pos[valid]
+            prev_i = np.searchsorted(vidx, pos, side="right") - 1
+            next_i = np.searchsorted(vidx, pos, side="left")
+            pi = vidx[np.clip(prev_i, 0, vidx.size - 1)]
+            ni = vidx[np.clip(next_i, 0, vidx.size - 1)]
+            pv, nv = v[pi], v[ni]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                interp = pv + (nv - pv) * (pos - pi) / (ni - pi)
+            filled = np.where(valid, v,
+                              np.where(prev_i < 0, nv,
+                                       np.where(next_i >= vidx.size, pv, interp)))
+            m = sk.compute_window_sketches(filled, bucket)
+            m[:, sk.FIELDS.index("s1")] = sk.seq_window_sums(filled, bucket)
+            f = sk.derive_features(m)
+            nw = m.shape[0]
+            out.append(pd.DataFrame({
+                "user_id": np.full(nw, uid, dtype=np.int64),
+                "window_id": np.arange(nw, dtype=np.int64),
+                "value_count": f["count"].astype(np.int64),
+                "value_mean": round_ha(f["mean"]),
+            }))
+        return (pd.concat(out, ignore_index=True)
+                .sort_values(["user_id", "window_id"]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(q.q_events_gapfill_rollup(d), ref_gapfill())
+
+
+def test_range_join_bucketed_matches_per_user(ray_session, tmp_path_factory):
+    """The interval-bucketed range join must equal the whole-user-per-task
+    reference form exactly (integer lag math) — including on a dense user
+    whose events are far closer together than the band width (many
+    replicated clicks per bucket) and a sparse user with empty bands."""
+    import pandas as pd
+    from ts_pymfe_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("rjevents"))
+    # user 7: 60k events over 30 days (~23 s apart, band 60 s -> dense)
+    df = _write_events(d, {7: 60_000, 8: 321, 9: 47}, seed=11)
+
+    def ref(band_sec=60):
+        band_us = band_sec * 1_000_000
+        out = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            et = g["event_type"].to_numpy()
+            ids = g["event_id"].to_numpy()
+            click_ts = ts[et == "click"]
+            err = et == "error"
+            e_ts, e_id = ts[err], ids[err]
+            lo = np.searchsorted(click_ts, e_ts - band_us, side="left")
+            hi = np.searchsorted(click_ts, e_ts + band_us, side="right")
+            n_in = (hi - lo).astype(np.int64)
+            nearest = np.full(e_ts.size, -1, dtype=np.int64)
+            for j in range(e_ts.size):
+                if n_in[j] > 0:
+                    nearest[j] = np.abs(click_ts[lo[j]:hi[j]] - e_ts[j]).min()
+            out.append(pd.DataFrame({"event_id": e_id.astype(np.int64),
+                                     "n_clicks_in_band": n_in,
+                                     "nearest_click_lag_us": nearest}))
+        return (pd.concat(out, ignore_index=True)
+                .sort_values("event_id").reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(q.q_events_range_join(d), ref())

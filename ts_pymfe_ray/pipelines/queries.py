@@ -514,36 +514,247 @@ def q_events_value_var(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# span width of every time-partitioned carry operator (sessionize/as-of/
+# positional windows): bounds any single task's group by TIME RANGE —
+# the production knob against hot keys (a bot user's events split across
+# spans instead of landing in one task)
+_SPAN_HOURS = 24
+
+# ------------------------------------------------- positional-window engine
+#
+# The user-window family (rollup / 10x merge / acf1 / gap-fill / moments)
+# aggregates non-overlapping positional windows of each user's
+# chronologically sorted events with the tier ladder's sketch kernels.
+# Round 4 co-located every user's FULL history in one map_groups task — a
+# single hot key (bot user with 10^9 events) OOMs that task.  This engine
+# bounds every group instead:
+#
+#   1. count partials: groupby (user, span=ts//span_us) + Count() — the
+#      shuffle carries combiner-collapsed count rows only, never events;
+#   2. per-user prefix sum over those counts (ONE tiny row per active
+#      (user, span)) yields each span's starting chronological rank;
+#   3. events co-partitioned with their span's offset row assign global
+#      ranks locally; windows FULLY inside the span are sketched
+#      vectorized right there (compute_window_sketches_at — the bulk of
+#      the data at production event rates);
+#   4. only the <= bucket-1 head/tail boundary events per span ship to a
+#      (user_id, window_id) groupby whose groups are <= bucket rows BY
+#      CONSTRUCTION.
+#
+# No task ever holds more than max(span event count, bucket) rows of one
+# user; span width is the production knob that bounds task size by TIME,
+# not by key frequency.  Per-window sketches computed in isolation are
+# bitwise-identical to the whole-series path for every field except the
+# comoment c1 (a (sum+cross)-cross vs sum+0 ulp-class association
+# difference that only feeds acf1, an off-grid ratio the 6dp rounding
+# absorbs — same tolerance class as engine-vs-DuckDB association drift).
+# Equality with the per-user reference form is pinned by
+# tests/test_pipeline.py::test_window_family_hot_user_distributed.
+
+_SKETCH_COLS = ("n", "s1", "s2", "s3", "s4", "c1", "vmin", "vmax",
+                "first", "last", "s1_seq")
+
+
+def _empty_span_parts() -> pd.DataFrame:
+    cols: dict[str, np.ndarray] = {
+        "user_id": np.empty(0, np.int64), "window_id": np.empty(0, np.int64),
+        "kind": np.empty(0, np.int64), "rank": np.empty(0, np.int64),
+        "value": np.empty(0, np.float64),
+    }
+    for c in _SKETCH_COLS:
+        cols[c] = np.empty(0, np.float64)
+    return pd.DataFrame(cols)
+
+
+def _positional_window_sketches(sf_dir: str, bucket: int,
+                                span_hours: int = _SPAN_HOURS):
+    """One sketch row per (user_id, positional window_id) — distributed as
+    described in the engine comment above.  Returns a Dataset with columns
+    ``user_id, window_id`` + ``_SKETCH_COLS`` (``s1`` pairwise as the
+    ladder stores it, ``s1_seq`` strictly sequential for the decimal-grid
+    oracle means)."""
+    from ray.data.aggregate import Count
+
+    from ts_pymfe_ray.functions import sketch as sk
+
+    span_us = span_hours * 3600 * 1_000_000
+    tagged = _tag_events_for_spans(sf_dir, span_us)
+    joined = _join_span_offsets(tagged)
+
+    def per_span(df: pd.DataFrame) -> pd.DataFrame:
+        offset = int(df.loc[df["kind"] == 1, "off"].iloc[0])
+        ev = df[df["kind"] == 0].sort_values(["ts_us", "event_id"])
+        n = len(ev)
+        if n == 0:
+            return _empty_span_parts()
+        uid = np.int64(ev["user_id"].iloc[0])
+        v = np.ascontiguousarray(ev["value"].to_numpy(), dtype=np.float64)
+        first_w = -(-offset // bucket)          # first window starting in-span
+        last_we = (offset + n) // bucket        # first window NOT ending in-span
+        out = []
+        if last_we > first_w:
+            head_end = first_w * bucket - offset
+            tail_start = last_we * bucket - offset
+            xs = v[head_end:tail_start]
+            m = sk.compute_window_sketches(xs, bucket)
+            s1s = sk.seq_window_sums(xs, bucket)
+            nw = m.shape[0]
+            rows = {
+                "user_id": np.full(nw, uid, dtype=np.int64),
+                "window_id": np.arange(first_w, last_we, dtype=np.int64),
+                "kind": np.zeros(nw, dtype=np.int64),
+                "rank": np.zeros(nw, dtype=np.int64),
+                "value": np.zeros(nw, dtype=np.float64),
+            }
+            for i, c in enumerate(sk.FIELDS):
+                rows[c] = m[:, i]
+            rows["s1_seq"] = s1s
+            out.append(pd.DataFrame(rows))
+        else:
+            head_end, tail_start = n, n
+        b_local = np.concatenate(
+            [np.arange(0, head_end), np.arange(tail_start, n)])
+        if b_local.size:
+            ranks = offset + b_local
+            rows = {
+                "user_id": np.full(b_local.size, uid, dtype=np.int64),
+                "window_id": (ranks // bucket).astype(np.int64),
+                "kind": np.ones(b_local.size, dtype=np.int64),
+                "rank": ranks.astype(np.int64),
+                "value": v[b_local],
+            }
+            for c in _SKETCH_COLS:
+                rows[c] = np.zeros(b_local.size, dtype=np.float64)
+            out.append(pd.DataFrame(rows))
+        if not out:
+            return _empty_span_parts()
+        return pd.concat(out, ignore_index=True)
+
+    parts = (
+        joined.groupby(["user_id", "span_id"])
+        .map_groups(per_span, batch_format="pandas")
+        .materialize()  # branched below into sketch rows + boundary events
+    )
+    sketch_cols = ["user_id", "window_id", *_SKETCH_COLS]
+
+    def take_sketches(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("kind"), 0)).select(sketch_cols)
+
+    def take_boundary(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("kind"), 1)).select(
+            ["user_id", "window_id", "rank", "value"])
+
+    local_sk = parts.map_batches(take_sketches, batch_format="pyarrow")
+
+    def sketch_window(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("rank")
+        v = np.ascontiguousarray(df["value"].to_numpy(), dtype=np.float64)
+        m = sk.compute_window_sketches(v, bucket)[0]
+        rows = {
+            "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+            "window_id": pa.array([int(df["window_id"].iloc[0])], pa.int64()),
+        }
+        for i, c in enumerate(sk.FIELDS):
+            rows[c] = pa.array([float(m[i])], pa.float64())
+        rows["s1_seq"] = pa.array([float(sk.seq_window_sums(v, bucket)[0])],
+                                  pa.float64())
+        return pa.table(rows)
+
+    boundary_sk = (
+        parts.map_batches(take_boundary, batch_format="pyarrow")
+        .groupby(["user_id", "window_id"])
+        .map_groups(sketch_window, batch_format="pandas")
+    )
+    return local_sk.union(boundary_sk)
+
+
+def _tag_events_for_spans(sf_dir: str, span_us: int,
+                          columns: tuple[str, ...] = ("user_id", "ts",
+                                                      "event_id", "value")):
+    """events -> (user_id, span_id, kind=0, off=0, ts_us, event_id, value)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", list(columns))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        nz = len(batch)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "span_id": pc.divide(ts_us, span_us),
+            "kind": pa.array(np.zeros(nz, dtype=np.int64), pa.int64()),
+            "off": pa.array(np.zeros(nz, dtype=np.int64), pa.int64()),
+            "ts_us": ts_us,
+            "event_id": batch.column("event_id"),
+            "value": batch.column("value"),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _join_span_offsets(tagged):
+    """Union the tagged events with one kind=1 offset row per (user, span):
+    offset = number of the user's events in EARLIER spans, i.e. the span's
+    starting chronological rank.  The count shuffle moves combiner partials
+    only; the prefix sum runs per user over one tiny row per active span
+    (a 10^9-event bot spanning a month is ~720 rows)."""
+    from ray.data.aggregate import Count
+
+    counts = tagged.groupby(["user_id", "span_id"]).aggregate(Count())
+
+    def prefix(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("span_id")
+        c = df["count()"].to_numpy(dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(c)[:-1]]).astype(np.int64)
+        nz = len(df)
+        # arrow block: the union partner (tagged events) is arrow, and
+        # Ray's shuffle sort rejects mixed pandas/arrow block unions
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "span_id": pa.array(df["span_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "kind": pa.array(np.ones(nz, dtype=np.int64), pa.int64()),
+            "off": pa.array(off, pa.int64()),
+            "ts_us": pa.array(np.zeros(nz, dtype=np.int64), pa.int64()),
+            "event_id": pa.array(np.full(nz, -1, dtype=np.int64), pa.int64()),
+            "value": pa.array(np.zeros(nz, dtype=np.float64), pa.float64()),
+        })
+
+    offsets = counts.groupby("user_id").map_groups(prefix, batch_format="pandas")
+    return tagged.union(offsets)
+
+
 def q_events_user_window_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
     """THE north-star rollup math, SQL-checked: each user's chronological
     event values form a series; non-overlapping positional windows of
     ``bucket`` observations are aggregated with the SAME sketch kernels the
-    tier ladder uses (compute_window_sketches -> derive_features).  DuckDB
-    twin: row_number() partitioned windows with count/avg/var_samp."""
+    tier ladder uses (compute_window_sketches -> derive_features), fully
+    distributed via the positional-window engine (no user history is ever
+    co-located).  DuckDB twin: row_number() partitioned windows with
+    count/avg/var_samp.  Oracle twin detail: s1 is the strictly sequential
+    sum so mean matches DuckDB's scalar SUM loop bitwise (mean = s1/16 is
+    dyadic and grid-preserving)."""
     from ts_pymfe_ray.functions import sketch as sk
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    sks = _positional_window_sketches(sf_dir, bucket)
+    s1 = sk.FIELDS.index("s1")
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        v = df["value"].to_numpy()
-        sketches = sk.compute_window_sketches(v, bucket)
-        # oracle twin: sequential s1 so mean matches DuckDB's scalar SUM
-        # loop bitwise (mean = s1/16 is dyadic and grid-preserving)
-        sketches[:, sk.FIELDS.index("s1")] = sk.seq_window_sums(v, bucket)
-        feats = sk.derive_features(sketches)
-        nw = sketches.shape[0]
-        return pd.DataFrame(
-            {
-                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
-                "window_id": np.arange(nw, dtype=np.int64),
-                "value_count": feats["count"].astype(np.int64),
-                "value_mean": round_ha(feats["mean"]),
-                "value_var": round_ha(feats["var"]),
-            }
-        )
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[list(sk.FIELDS)].to_numpy(dtype=np.float64)
+        m[:, s1] = df["s1_seq"].to_numpy()
+        feats = sk.derive_features(m)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "window_id": df["window_id"].to_numpy(dtype=np.int64),
+            "value_count": feats["count"].astype(np.int64),
+            "value_mean": round_ha(feats["mean"]),
+            "value_var": round_ha(feats["var"]),
+        })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = sks.map_batches(derive, batch_format="pandas").to_pandas()
     # single-observation windows: SQL var_samp yields NULL; sketch yields NaN
     return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
 
@@ -551,131 +762,259 @@ def q_events_user_window_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
 def q_events_user_window_rollup_10x(sf_dir: str, bucket: int = 16, factor: int = 10) -> pd.DataFrame:
     """Tier-MERGE algebra SQL-checked: bucket-16 sketches merged 10x
     (merge_adjacent — the exact raw->10x ladder step) must equal direct
-    SQL aggregation over windows of 160 observations."""
+    SQL aggregation over windows of 160 observations.  The fine sketches
+    come from the distributed positional-window engine; the merge itself
+    is a (user, coarse window) groupby over SKETCH ROWS (<= factor rows
+    per group — n_events/bucket rows total, a 16x data reduction before
+    the only remaining shuffle)."""
     from ts_pymfe_ray.functions import sketch as sk
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    sks = _positional_window_sketches(sf_dir, bucket)
+    s1 = sk.FIELDS.index("s1")
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        v = df["value"].to_numpy()
-        fine = sk.compute_window_sketches(v, bucket)
-        s1 = sk.FIELDS.index("s1")
-        fine[:, s1] = sk.seq_window_sums(v, bucket)
-        merged = sk.merge_adjacent(fine, factor)  # the ladder step under test
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "coarse_id", pc.divide(batch.column("window_id"), factor))
+
+    def merge_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_id")
+        fine = df[list(sk.FIELDS)].to_numpy(dtype=np.float64)
+        s1_seq = df["s1_seq"].to_numpy(dtype=np.float64)
+        fine[:, s1] = s1_seq
+        merged = sk.merge_adjacent(fine, factor)  # one coarse row
         # sums-of-sums with DuckDB's sequential association (the two-level
         # oracle aggregates fine-window s1 the same way)
-        merged[:, s1] = sk.seq_window_sums(fine[:, s1], factor)
+        merged[0, s1] = sk.seq_window_sums(s1_seq, factor)[0]
         feats = sk.derive_features(merged)
-        nw = merged.shape[0]
-        return pd.DataFrame(
-            {
-                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
-                "window_id": np.arange(nw, dtype=np.int64),
-                "value_count": feats["count"].astype(np.int64),
-                "value_mean": round_ha(feats["mean"]),
-                "value_var": round_ha(feats["var"]),
-            }
-        )
+        return pd.DataFrame({
+            "user_id": np.array([df["user_id"].iloc[0]], dtype=np.int64),
+            "window_id": np.array([df["coarse_id"].iloc[0]], dtype=np.int64),
+            "value_count": feats["count"].astype(np.int64),
+            "value_mean": round_ha(feats["mean"]),
+            "value_var": round_ha(feats["var"]),
+        })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = (
+        sks.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby(["user_id", "coarse_id"])
+        .map_groups(merge_coarse, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
 
 
 def q_events_user_window_acf1(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
     """Window-local lag-1 autocorrelation from the comoment sketch,
     SQL-checked: sum((x_i-mu)(x_{i+1}-mu))/sum((x_i-mu)^2) over full
-    windows — the exact per-window ACF of the tier ladder."""
+    windows — the exact per-window ACF of the tier ladder, sketched by
+    the distributed positional-window engine."""
     from ts_pymfe_ray.functions import sketch as sk
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    sks = _positional_window_sketches(sf_dir, bucket)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        v = df["value"].to_numpy()
-        sketches = sk.compute_window_sketches(v, bucket)
-        feats = sk.derive_features(sketches)
-        full = feats["count"] == bucket
-        ok = full & np.isfinite(feats["acf1"])
-        nw = int(ok.sum())
-        return pd.DataFrame(
-            {
-                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
-                "window_id": np.flatnonzero(ok).astype(np.int64),
-                "acf1": round_ha(feats["acf1"][ok]),
-            }
-        )
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[list(sk.FIELDS)].to_numpy(dtype=np.float64)
+        feats = sk.derive_features(m)
+        ok = (feats["count"] == bucket) & np.isfinite(feats["acf1"])
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64)[ok],
+            "window_id": df["window_id"].to_numpy(dtype=np.int64)[ok],
+            "acf1": round_ha(feats["acf1"][ok]),
+        })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = sks.map_batches(derive, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
 
 
-def q_events_gapfill_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
+def q_events_gapfill_rollup(sf_dir: str, bucket: int = 16,
+                            span_hours: int = _SPAN_HOURS) -> pd.DataFrame:
     """GAP-FILL semantics SQL-checked: values of events with
     event_id % 10 == 0 are treated as missing, filled with the engine's
     exact policy (interior linear interpolation, leading NOCB, trailing
-    LOCF — functions/gapfill.py via np.interp), then window-rolled up.
-    The DuckDB twin reproduces the same policy with IGNORE NULLS window
-    functions, validating the gap-fill path end-to-end."""
+    LOCF — the oracle's exact expression order pv + (nv-pv)*(p-pi)/(ni-pi);
+    np.interp pre-divides the slope, which drifts 1 ulp and flips
+    half-boundary means), then window-rolled up.  Distributed with the
+    same span-carry shape as the engine: missing runs whose interpolation
+    neighbors are both in-span resolve locally; only head/tail runs plus
+    ONE (first/last valid) carry row per span take a per-user pass, whose
+    group is O(active spans + boundary-run events), never the full
+    history.  The DuckDB twin reproduces the policy with IGNORE NULLS
+    window functions, validating the gap-fill path end-to-end."""
     from ts_pymfe_ray.functions import sketch as sk
-    from ts_pymfe_ray.functions.gapfill import gap_fill
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    span_us = span_hours * 3600 * 1_000_000
+    tagged = _tag_events_for_spans(sf_dir, span_us)
+    joined = _join_span_offsets(tagged)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        v = df["value"].to_numpy().copy()
-        missing = (df["event_id"].to_numpy() % 10) == 0
-        if missing.all():
-            return pd.DataFrame(
-                {"user_id": [], "window_id": [], "value_count": [], "value_mean": []}
-            )
-        # interior linear interpolation with the oracle's exact expression
-        # order pv + (nv-pv)*(pos-pi)/(ni-pi): np.interp pre-divides the
-        # slope, which drifts 1 ulp and flips half-boundary means
-        pos = np.arange(v.size)
+    # kind 0: resolved (rank, filled value); kind 1: unresolved missing
+    # (rank); kind 2: span carry (first/last valid rank+value packed into
+    # rank=first_rank, value=first_value, rank2/value2)
+    def per_span(df: pd.DataFrame) -> pd.DataFrame:
+        offset = int(df.loc[df["kind"] == 1, "off"].iloc[0])
+        ev = df[df["kind"] == 0].sort_values(["ts_us", "event_id"])
+        n = len(ev)
+        empty = pd.DataFrame({
+            "user_id": np.empty(0, np.int64), "kind": np.empty(0, np.int64),
+            "rank": np.empty(0, np.int64), "value": np.empty(0, np.float64),
+            "rank2": np.empty(0, np.int64), "value2": np.empty(0, np.float64),
+        })
+        if n == 0:
+            return empty
+        uid = np.int64(ev["user_id"].iloc[0])
+        v = np.ascontiguousarray(ev["value"].to_numpy(), dtype=np.float64)
+        missing = (ev["event_id"].to_numpy() % 10) == 0
+        ranks = offset + np.arange(n, dtype=np.int64)
+        out = []
+
+        def rows(kind, r, val, r2=None, v2=None):
+            nz = np.asarray(r).size
+            out.append(pd.DataFrame({
+                "user_id": np.full(nz, uid, dtype=np.int64),
+                "kind": np.full(nz, kind, dtype=np.int64),
+                "rank": np.asarray(r, dtype=np.int64),
+                "value": np.asarray(val, dtype=np.float64),
+                "rank2": (np.zeros(nz, dtype=np.int64) if r2 is None
+                          else np.asarray(r2, dtype=np.int64)),
+                "value2": (np.zeros(nz, dtype=np.float64) if v2 is None
+                           else np.asarray(v2, dtype=np.float64)),
+            }))
+
         valid = ~missing
-        vidx = pos[valid]
-        prev_i = np.searchsorted(vidx, pos, side="right") - 1
-        next_i = np.searchsorted(vidx, pos, side="left")
-        pi = vidx[np.clip(prev_i, 0, vidx.size - 1)]
-        ni = vidx[np.clip(next_i, 0, vidx.size - 1)]
-        pv, nv = v[pi], v[ni]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            interp = pv + (nv - pv) * (pos - pi) / (ni - pi)
-        filled = np.where(valid, v,
-                          np.where(prev_i < 0, nv,
-                                   np.where(next_i >= vidx.size, pv, interp)))
-        sketches = sk.compute_window_sketches(filled, bucket)
-        sketches[:, sk.FIELDS.index("s1")] = sk.seq_window_sums(filled, bucket)
-        feats = sk.derive_features(sketches)
-        nw = sketches.shape[0]
-        return pd.DataFrame(
-            {
-                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
-                "window_id": np.arange(nw, dtype=np.int64),
-                "value_count": feats["count"].astype(np.int64),
-                "value_mean": round_ha(feats["mean"]),
-            }
-        )
+        if not valid.any():
+            # all-missing span: every event unresolved, no carry
+            rows(1, ranks, v)
+            return pd.concat(out, ignore_index=True)
+        vloc = np.flatnonzero(valid)
+        fv, lv = vloc[0], vloc[-1]
+        rows(0, ranks[valid], v[valid])  # valid events pass through
+        # interior missing: both neighbors in-span -> the oracle expression
+        interior = missing & (np.arange(n) > fv) & (np.arange(n) < lv)
+        if interior.any():
+            pos = np.flatnonzero(interior)
+            pi = vloc[np.searchsorted(vloc, pos, side="right") - 1]
+            ni = vloc[np.searchsorted(vloc, pos, side="left")]
+            pv, nv = v[pi], v[ni]
+            gp = ranks[pos].astype(np.float64)
+            gpi = ranks[pi].astype(np.float64)
+            gni = ranks[ni].astype(np.float64)
+            filled = pv + (nv - pv) * (gp - gpi) / (gni - gpi)
+            rows(0, ranks[pos], filled)
+        # head/tail missing runs: neighbors live in other spans
+        edge = missing & ~interior
+        if edge.any():
+            pos = np.flatnonzero(edge)
+            rows(1, ranks[pos], v[pos])
+        # one carry row: the span's first and last valid (rank, value)
+        rows(2, [ranks[fv]], [v[fv]], [ranks[lv]], [v[lv]])
+        return pd.concat(out, ignore_index=True)
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    parts = (
+        joined.groupby(["user_id", "span_id"])
+        .map_groups(per_span, batch_format="pandas")
+        .materialize()
+    )
+
+    def take_resolved(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("kind"), 0)).select(
+            ["user_id", "rank", "value"])
+
+    def take_carry(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("kind"), 0))
+
+    def resolve_user(df: pd.DataFrame) -> pa.Table:
+        un = df[df["kind"] == 1]
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+        })
+        if len(un) == 0:
+            return empty
+        ca = df[df["kind"] == 2]
+        if len(ca) == 0:
+            return empty  # user has no valid value anywhere: emit nothing
+        # nearest valid BEFORE rank p is always some span's LAST valid;
+        # nearest valid AFTER is some span's FIRST valid (no valids exist
+        # between a span's last valid and the next span's first)
+        first_r = ca["rank"].to_numpy(dtype=np.int64)
+        first_v = ca["value"].to_numpy(dtype=np.float64)
+        last_r = ca["rank2"].to_numpy(dtype=np.int64)
+        last_v = ca["value2"].to_numpy(dtype=np.float64)
+        o1 = np.argsort(first_r)
+        first_r, first_v = first_r[o1], first_v[o1]
+        o2 = np.argsort(last_r)
+        last_r, last_v = last_r[o2], last_v[o2]
+        p = un["rank"].to_numpy(dtype=np.int64)
+        ip = np.searchsorted(last_r, p, side="left") - 1   # last_r[ip] < p
+        iq = np.searchsorted(first_r, p, side="right")     # first_r[iq] > p
+        has_p = ip >= 0
+        has_n = iq < first_r.size
+        gpi = last_r[np.clip(ip, 0, last_r.size - 1)].astype(np.float64)
+        gni = first_r[np.clip(iq, 0, first_r.size - 1)].astype(np.float64)
+        pv = last_v[np.clip(ip, 0, last_r.size - 1)]
+        nv = first_v[np.clip(iq, 0, first_r.size - 1)]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = pv + (nv - pv) * (p.astype(np.float64) - gpi) / (gni - gpi)
+        filled = np.where(~has_p, nv, np.where(~has_n, pv, interp))
+        return pa.table({
+            "user_id": pa.array(un["user_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "rank": pa.array(p, pa.int64()),
+            "value": pa.array(filled.astype(np.float64), pa.float64()),
+        })
+
+    fixed = (
+        parts.map_batches(take_carry, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(resolve_user, batch_format="pandas")
+    )
+    filled_events = parts.map_batches(take_resolved, batch_format="pyarrow").union(fixed)
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "window_id", pc.divide(batch.column("rank"), bucket))
+
+    def sketch_window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("rank")
+        v = np.ascontiguousarray(df["value"].to_numpy(), dtype=np.float64)
+        m = sk.compute_window_sketches(v, bucket)
+        m[0, sk.FIELDS.index("s1")] = sk.seq_window_sums(v, bucket)[0]
+        feats = sk.derive_features(m)
+        return pd.DataFrame({
+            "user_id": np.array([df["user_id"].iloc[0]], dtype=np.int64),
+            "window_id": np.array([df["window_id"].iloc[0]], dtype=np.int64),
+            "value_count": feats["count"].astype(np.int64),
+            "value_mean": round_ha(feats["mean"]),
+        })
+
+    out = (
+        filled_events.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "window_id"])
+        .map_groups(sketch_window, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
 
 
 def q_events_user_window_moments(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
     """Higher-moment sketch algebra SQL-checked: per-window skewness and
     kurtosis derived from the SAME (s1..s4) power sums the tier ladder
-    stores, converted to DuckDB's bias-corrected (e1071 type-2)
-    definitions for the oracle comparison."""
+    stores (via the distributed positional-window engine), converted to
+    DuckDB's bias-corrected (e1071 type-2) definitions for the oracle
+    comparison."""
     from ts_pymfe_ray.functions import sketch as sk
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    sks = _positional_window_sketches(sf_dir, bucket)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        v = df["value"].to_numpy()
-        m = sk.compute_window_sketches(v, bucket)
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[list(sk.FIELDS)].to_numpy(dtype=np.float64)
         feats = sk.derive_features(m)
         n = feats["count"]
         full = n == bucket  # type-2 corrections need n > 3; use full windows
@@ -686,17 +1025,14 @@ def q_events_user_window_moments(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
             skew2 = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
             kurt2 = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
         keep = full & np.isfinite(skew2) & np.isfinite(kurt2)
-        nw = int(keep.sum())
-        return pd.DataFrame(
-            {
-                "user_id": np.full(nw, df["user_id"].iloc[0], dtype=np.int64),
-                "window_id": np.flatnonzero(keep).astype(np.int64),
-                "value_skew": round_ha(skew2[keep]),
-                "value_kurt": round_ha(kurt2[keep]),
-            }
-        )
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64)[keep],
+            "window_id": df["window_id"].to_numpy(dtype=np.int64)[keep],
+            "value_skew": round_ha(skew2[keep]),
+            "value_kurt": round_ha(kurt2[keep]),
+        })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = sks.map_batches(derive, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
 
 
@@ -769,9 +1105,6 @@ def q_events_asof_purchase(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
-
-
-_SPAN_HOURS = 24
 
 
 def _add_span_id(ds, span_us: int):
@@ -1044,37 +1377,95 @@ def q_events_distinct_users_kmv(sf_dir: str, k: int = 64) -> pd.DataFrame:
 
 
 def q_events_range_join(sf_dir: str, band_sec: int = 60) -> pd.DataFrame:
-    """RANGE (band) JOIN: every 'error' event joins the 'click' events of
-    the SAME user within +/- band_sec.  Per-key sort + searchsorted window
-    (two-pointer band) — the interval-bucketed shape a distributed range
-    join takes at scale (bucket time by band width; each pair lands in
-    the bucket of its left end, so no pair is missed or doubled).
+    """RANGE (band) JOIN, interval-bucketed: every 'error' event joins the
+    'click' events of the SAME user within +/- band_sec.
+
+    Distributed shape: time is bucketed by the band width; each error is
+    processed ONCE in its home bucket, and each click is replicated to its
+    home bucket +/- 1 (every in-band pair is then co-located, no pair is
+    missed or doubled).  Groups are keyed (user_id, time bucket), so task
+    size is bounded by a user's event RATE over ~3 band widths, never by
+    total history — a 10^9-event bot user splits across millions of
+    buckets.  The shuffle carries only (user, bucket, kind, ts_us,
+    event_id) rows (3x clicks + errors), never the full rows.
+
+    The nearest-lag is vectorized: with sorted in-group click times, the
+    nearest in-band click is the insertion-point predecessor or successor
+    clipped to the band window — exact integer math, no per-error loop.
     Output: per error event, the number of in-band clicks and the nearest
     click's absolute lag."""
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
     band_us = band_sec * 1_000_000
+    BIG = np.int64(2**62)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        et = df["event_type"].to_numpy()
-        ids = df["event_id"].to_numpy()
-        click_ts = ts[et == "click"]
-        err = et == "error"
-        e_ts, e_id = ts[err], ids[err]
-        lo = np.searchsorted(click_ts, e_ts - band_us, side="left")
-        hi = np.searchsorted(click_ts, e_ts + band_us, side="right")
-        n_in = (hi - lo).astype(np.int64)
-        nearest = np.full(e_ts.size, -1, dtype=np.int64)
-        for j in range(e_ts.size):
-            if n_in[j] > 0:
-                w = click_ts[lo[j]:hi[j]]
-                nearest[j] = np.abs(w - e_ts[j]).min()
-        return pd.DataFrame({"event_id": e_id.astype(np.int64),
-                             "n_clicks_in_band": n_in,
-                             "nearest_click_lag_us": nearest})
+    def emit(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                        pa.int64()).to_numpy()
+        is_err = pc.equal(batch.column("event_type"), "error").to_numpy(
+            zero_copy_only=False)
+        is_clk = pc.equal(batch.column("event_type"), "click").to_numpy(
+            zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        b = ts_us // band_us
+        parts_u, parts_b, parts_k, parts_t, parts_e = [], [], [], [], []
+        e = np.flatnonzero(is_err)
+        parts_u.append(uid[e]); parts_b.append(b[e])
+        parts_k.append(np.ones(e.size, dtype=np.int64))
+        parts_t.append(ts_us[e]); parts_e.append(eid[e])
+        c = np.flatnonzero(is_clk)
+        for d in (-1, 0, 1):  # replicate clicks to the adjacent buckets
+            parts_u.append(uid[c]); parts_b.append(b[c] + d)
+            parts_k.append(np.zeros(c.size, dtype=np.int64))
+            parts_t.append(ts_us[c]); parts_e.append(eid[c])
+        return pa.table({
+            "user_id": pa.array(np.concatenate(parts_u), pa.int64()),
+            "bucket": pa.array(np.concatenate(parts_b), pa.int64()),
+            "kind": pa.array(np.concatenate(parts_k), pa.int64()),
+            "ts_us": pa.array(np.concatenate(parts_t), pa.int64()),
+            "event_id": pa.array(np.concatenate(parts_e), pa.int64()),
+        })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        err = df[df["kind"] == 1]
+        if len(err) == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "n_clicks_in_band": pa.array([], pa.int64()),
+                "nearest_click_lag_us": pa.array([], pa.int64()),
+            })
+        e_ts = err["ts_us"].to_numpy(dtype=np.int64)
+        e_id = err["event_id"].to_numpy(dtype=np.int64)
+        click_ts = np.sort(df.loc[df["kind"] == 0, "ts_us"].to_numpy(dtype=np.int64))
+        if click_ts.size == 0:
+            n_in = np.zeros(e_ts.size, dtype=np.int64)
+            nearest = np.full(e_ts.size, -1, dtype=np.int64)
+        else:
+            lo = np.searchsorted(click_ts, e_ts - band_us, side="left")
+            hi = np.searchsorted(click_ts, e_ts + band_us, side="right")
+            n_in = (hi - lo).astype(np.int64)
+            pos = np.searchsorted(click_ts, e_ts, side="left")
+            prev_d = np.where(pos > lo,
+                              e_ts - click_ts[np.maximum(pos - 1, 0)], BIG)
+            next_d = np.where(pos < hi,
+                              click_ts[np.minimum(pos, click_ts.size - 1)] - e_ts,
+                              BIG)
+            nearest = np.where(n_in > 0, np.minimum(prev_d, next_d),
+                               np.int64(-1)).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(e_id, pa.int64()),
+            "n_clicks_in_band": pa.array(n_in, pa.int64()),
+            "nearest_click_lag_us": pa.array(nearest, pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "bucket"])
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("event_id").reset_index(drop=True)
 
 
