@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_fast_features_nogap": _q_seq_fast_features_nogap,
         "seq_token_histogram": _q_seq_token_histogram,
         "seq_kernel_affine": _q_seq_kernel_affine,
+        # five more kernels (t_mean / diff moments / LZ78) — new in round 5
+        "seq_kernel_affine2": _q_seq_kernel_affine2,
         "seq_gapfill_mean": _q_seq_gapfill_mean,
         # --- hash-exact, driver-graded round 4 (kept inside the window) ---
         "events_window_rollup": q.q_events_window_rollup,
@@ -370,6 +372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": t.q_curation_pipeline,
         "decontaminate": t.q_decontaminate,
         "embeddings_kmeans_step": q.q_embeddings_kmeans_step,
+        # full 5-iteration Lloyd loop — hash-exact since round 5 via the
+        # chained step-CTE oracle; never driver-graded as hash before
+        "embeddings_kmeans": q.q_embeddings_kmeans,
         "embeddings_label_centroids": q.q_embeddings_label_centroids,
         "dedup_exact": q.q_dedup_exact,
         "dedup_exact_keep_first": q.q_dedup_exact_keep_first,
@@ -382,12 +387,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_window_moments": q.q_events_user_window_moments,
         "events_sessionize_carry": q.q_events_sessionize_carry,
         "events_asof_carry": q.q_events_asof_purchase_carry,
-        "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
         "events_range_join": q.q_events_range_join,
-        "doc_fingerprints": t.q_doc_fingerprints,
         # --- beyond the driver's 50-query window: hash-exact operators ---
         # already graded green in CORRECTNESS_r04.json (check_oracle still
         # verifies them every round at both scales)
+        "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
+        "doc_fingerprints": t.q_doc_fingerprints,
         "events_daily_extremes": q.q_events_daily_extremes,
         "events_hopping_window": q.q_events_hopping_window,
         "customers_per_region": q.q_customers_per_region,
@@ -402,7 +407,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_full": t.q_text_quality_full,
         "seq_tier_rollup": _q_seq_tier_rollup,
         # --- rows-only: non-SQL-expressible operators (tail by contract) ---
-        "embeddings_kmeans": q.q_embeddings_kmeans,
         "seq_features": _q_seq_features,
         "seq_features_heavy": _q_seq_features_heavy,
         "seq_source_rollup": _q_seq_source_rollup,
@@ -618,6 +622,88 @@ def _q_seq_kernel_affine(sf_dir: str):
             # per-doc-rounded inputs still carry float noise in the sum:
             # 4dp on the average keeps the boundary clear on both sides
             "avg_hist_ent": round_ha((g["he_sum"] / nn).to_numpy(), 4),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _q_seq_kernel_affine2(sf_dir: str):
+    """SQL-ORACLED twin of FIVE more real feature kernels end-to-end:
+    t_mean / sd_diff / skewness_diff / kurtosis_diff / lz_complexity.
+    Gap-free docs, last-512 cap, 2% md5-coin doc subsample (the engine's
+    own sampling operator — bounds the LZ78 recursive-CTE oracle's cost;
+    both sides apply the identical coin).  t_mean is bitwise (integer
+    sums + one shared IEEE division); the diff moments and normalized
+    LZ78 complexity carry 1-ulp summation/log noise and are rounded to
+    6dp per doc on BOTH sides (hist_entropy precedent)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ts_pymfe_ray.features  # noqa: F401
+    from ts_pymfe_ray.functions.rounding import round_ha
+    from ts_pymfe_ray.pipelines.flagship import _filter_gapfree
+    from ts_pymfe_ray.registry import REGISTRY, evaluate_row
+    from ts_pymfe_ray.sources.sequences import read_sequences
+    from ts_pymfe_ray.synth import ensure_sequences_for_dir
+
+    seq_dir = ensure_sequences_for_dir(sf_dir)
+    ds = read_sequences(seq_dir)
+    ds = ds.map_batches(_filter_gapfree, batch_format="pyarrow", zero_copy_batch=True)
+    knames = ["t_mean", "sd_diff", "skewness_diff", "kurtosis_diff",
+              "lz_complexity"]
+    kernels = [REGISTRY[n] for n in knames]
+    cols = ["tm", "sd", "sk", "kt", "lz"]
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        from ts_pymfe_ray.stages.rollup import tokens_views
+
+        from ts_pymfe_ray.functions.md5vec import md5_lower64_list
+
+        ids = batch.column("doc_id").to_pylist()
+        coin = md5_lower64_list([s.encode() for s in ids]) % np.uint64(100)
+        batch = batch.filter(pa.array(coin < 2))
+        # explicit empty schema: a 2% coin leaves most batches empty, and
+        # a pandas empty frame would emit null-typed columns that poison
+        # the downstream concat
+        empty_schema = pa.schema(
+            [("source", pa.string()), ("n", pa.int64())]
+            + [(f"{c}_sum", pa.float64()) for c in cols])
+        if batch.num_rows == 0:
+            return empty_schema.empty_table()
+        views, _, _ = tokens_views(batch)
+        doc_ids = batch.column("doc_id").to_pylist()
+        sources = batch.column("source").to_pylist()
+        rows = {c: [] for c in cols}
+        src_out = []
+        for i, tok in enumerate(views):
+            vals = evaluate_row(tok.astype(np.float64), doc_ids[i], kernels)
+            src_out.append(sources[i])
+            rows["tm"].append(vals["t_mean"])
+            for c, k in zip(cols[1:], knames[1:]):
+                rows[c].append(round_ha(vals[k], 6))
+        df = pd.DataFrame({"source": src_out, **rows})
+        g = df.groupby("source").agg(
+            n=("tm", "size"), **{f"{c}_sum": (c, "sum") for c in cols}
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("source").agg(
+        n=("n", "sum"), **{f"{c}_sum": (f"{c}_sum", "sum") for c in cols}
+    ).reset_index()
+    nn = g["n"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "source": g["source"],
+            "n_docs": g["n"].astype("int64"),
+            "avg_t_mean": round_ha((g["tm_sum"] / nn).to_numpy()),
+            # per-doc-rounded inputs still carry float noise in the sum:
+            # 4dp on the averages keeps the boundary clear on both sides
+            "avg_sd_diff": round_ha((g["sd_sum"] / nn).to_numpy(), 4),
+            "avg_skew_diff": round_ha((g["sk_sum"] / nn).to_numpy(), 4),
+            "avg_kurt_diff": round_ha((g["kt_sum"] / nn).to_numpy(), 4),
+            "avg_lz": round_ha((g["lz_sum"] / nn).to_numpy(), 4),
         }
     )
     return out.sort_values("source").reset_index(drop=True)
@@ -1851,6 +1937,123 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             ORDER BY source
         """
+    d["seq_kernel_affine2"] = f"""
+            -- 5-kernel twin #2; see _q_seq_kernel_affine2.  t_mean clears
+            -- to integer sums + one shared division; diff moments follow
+            -- the e1071 method-3 biased formulas op for op; lz_complexity
+            -- is an LZ78 phrase parse as a recursive CTE (dict grows one
+            -- phrase per step; the ml+1 search cap is sound because every
+            -- phrase's prefix is also a phrase)
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, source,
+                       tokens[greatest(1, len(tokens) - 511):] AS tk
+                FROM read_parquet('{_SEQ_GLOB}')
+                WHERE len(list_filter(tokens, x -> x = -1)) = 0
+                  AND md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 2
+            ), elems AS (
+                SELECT doc_id, generate_subscripts(tk, 1) AS i,
+                       CAST(unnest(tk) AS BIGINT) AS t
+                FROM docs
+            ), stats AS (
+                SELECT doc_id, COUNT(*) AS n,
+                       CAST(MIN(t) AS DOUBLE) AS lo, CAST(MAX(t) AS DOUBLE) AS hi
+                FROM elems GROUP BY doc_id
+            ), tm AS (
+                SELECT e.doc_id,
+                       CAST(SUM(CASE WHEN r.rnk >  CAST(floor(st.n * 0.02) AS BIGINT)
+                                      AND r.rnk <= st.n - CAST(floor(st.n * 0.02) AS BIGINT)
+                                     THEN e.t END) AS DOUBLE)
+                       / (st.n - 2 * CAST(floor(st.n * 0.02) AS BIGINT)) AS tm_v
+                FROM elems e
+                JOIN (SELECT doc_id, i,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY t, i) AS rnk
+                      FROM elems) r USING (doc_id, i)
+                JOIN stats st USING (doc_id)
+                GROUP BY e.doc_id, st.n
+            ), dif AS (
+                SELECT doc_id, i,
+                       CAST(lead(t) OVER (PARTITION BY doc_id ORDER BY i) - t
+                            AS DOUBLE) AS dv
+                FROM elems
+                QUALIFY dv IS NOT NULL
+            ), dstat AS (
+                SELECT doc_id, COUNT(*) AS m,
+                       CAST(SUM(CAST(dv AS BIGINT)) AS DOUBLE) / COUNT(*) AS mu
+                FROM dif GROUP BY doc_id
+            ), mom AS (
+                SELECT d.doc_id, ds.m, ds.mu,
+                       SUM((d.dv - ds.mu) * (d.dv - ds.mu)) / ds.m AS m2,
+                       SUM((d.dv - ds.mu) * (d.dv - ds.mu) * (d.dv - ds.mu)) / ds.m AS m3,
+                       SUM((d.dv - ds.mu) * (d.dv - ds.mu) * (d.dv - ds.mu) * (d.dv - ds.mu)) / ds.m AS m4,
+                       SUM((d.dv - ds.mu) * (d.dv - ds.mu)) / (ds.m - 1) AS var1
+                FROM dif d JOIN dstat ds USING (doc_id)
+                GROUP BY d.doc_id, ds.m, ds.mu
+            ), dmom AS (
+                SELECT doc_id,
+                       ROUND(sqrt(var1), 6) AS sd_v,
+                       ROUND((CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5)
+                                   ELSE 0.0 END)
+                             * pow((m - 1.0) / m, 1.5), 6) AS sk_v,
+                       ROUND(((CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0
+                                    ELSE -3.0 END) + 3.0)
+                             * ((1.0 - 1.0 / m) * (1.0 - 1.0 / m)) - 3.0, 6) AS kt_v
+                FROM mom
+            ), binned AS (
+                SELECT e.doc_id, e.i,
+                       CASE WHEN st.hi = st.lo THEN 1 ELSE
+                         1 + (CAST(e.t AS DOUBLE) >= 1 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 2 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 3 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 4 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 5 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 6 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 7 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 8 * ((st.hi - st.lo)/10) + st.lo)::INT
+                           + (CAST(e.t AS DOUBLE) >= 9 * ((st.hi - st.lo)/10) + st.lo)::INT
+                       END AS b
+                FROM elems e JOIN stats st USING (doc_id)
+            ), strs AS (
+                SELECT doc_id, string_agg(chr(64 + b), '' ORDER BY i) AS s
+                FROM binned GROUP BY doc_id
+            ), lz AS (
+                SELECT doc_id, s, len(s) AS n, 1 AS pos, 0 AS cnt,
+                       CAST([] AS VARCHAR[]) AS dct, 0 AS ml
+                FROM strs
+                UNION ALL
+                SELECT doc_id, s, n, pos + plen, cnt + 1,
+                       list_append(dct, substring(s, pos, plen)),
+                       greatest(ml, plen)
+                FROM (SELECT doc_id, s, n, pos, cnt, dct, ml,
+                             list_min(list_filter(
+                                 generate_series(1, least(n - pos + 1, ml + 1)),
+                                 L -> NOT list_contains(
+                                     dct, substring(s, pos, L)))) AS plen
+                      FROM lz)
+                WHERE plen IS NOT NULL
+            ), lzc AS (
+                SELECT doc_id,
+                       ROUND(MAX(cnt) * (ln(MAX(n)) / (MAX(n) * ln(10.0))),
+                             6) AS lz_v
+                FROM lz GROUP BY doc_id
+            ), per AS (
+                SELECT d.source, tm.tm_v, dm.sd_v, dm.sk_v, dm.kt_v, lzc.lz_v
+                FROM docs d
+                JOIN tm USING (doc_id)
+                JOIN dmom dm USING (doc_id)
+                JOIN lzc USING (doc_id)
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   ROUND(SUM(tm_v) / COUNT(*), 6) AS avg_t_mean,
+                   ROUND(SUM(sd_v) / COUNT(*), 4) AS avg_sd_diff,
+                   ROUND(SUM(sk_v) / COUNT(*), 4) AS avg_skew_diff,
+                   ROUND(SUM(kt_v) / COUNT(*), 4) AS avg_kurt_diff,
+                   ROUND(SUM(lz_v) / COUNT(*), 4) AS avg_lz
+            FROM per
+            GROUP BY source
+            ORDER BY source
+        """
     d["multimodal_frames"] = """
             -- frame-sample twin: 4 char-aligned segments per payload
             WITH m AS (
@@ -1962,4 +2165,56 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cluster_id
         """
     d["dedup_clusters_lp"] = d["dedup_clusters"]
+
+    # full spherical-k-means loop (5 Lloyd iterations, k=8): the step CTE
+    # chained — a{i} assigns vs c{i-1} (ties -> lowest cid, matching the
+    # engine's argmax-first), m{i}/l{i} rebuild per-cluster mean centroids,
+    # empty clusters keep the previous centroid via COALESCE.  Mirrors
+    # q_embeddings_kmeans (queries.py) pass for pass.
+    _km_parts = ["""u AS (
+                SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+                       unnest(generate_series(1, len(embedding))) AS pos
+                FROM embeddings
+            ), c0 AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+                FROM embeddings WHERE vec_id < 8
+            )"""]
+    for _i in range(1, 6):
+        _km_parts.append(f""", a{_i} AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.cemb) DESC,
+                               c.cid) AS rn
+                    FROM embeddings e CROSS JOIN c{_i - 1} c)
+                WHERE rn = 1
+            ), m{_i} AS (
+                SELECT a.cid, u.pos, AVG(u.val) AS mv
+                FROM a{_i} a JOIN u ON a.vec_id = u.vec_id
+                GROUP BY a.cid, u.pos
+            ), l{_i} AS (
+                SELECT cid, list(mv ORDER BY pos) AS lst
+                FROM m{_i} GROUP BY cid
+            ), c{_i} AS (
+                SELECT c.cid, COALESCE(l.lst, c.cemb) AS cemb
+                FROM c{_i - 1} c LEFT JOIN l{_i} l USING (cid)
+            )""")
+    d["embeddings_kmeans"] = "WITH " + "".join(_km_parts) + """
+            SELECT cid AS cluster,
+                   COUNT(*) AS n_vecs,
+                   ROUND(SUM(1 - s), 6) AS inertia
+            FROM (
+                SELECT e.vec_id, c.cid,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cemb) AS s,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cemb) DESC,
+                           c.cid) AS rn
+                FROM embeddings e CROSS JOIN c5 c)
+            WHERE rn = 1
+            GROUP BY cid
+            ORDER BY cid
+        """
     return d

@@ -206,6 +206,40 @@ def test_ivf_partitioned_layout(ray_session, tmp_path):
     assert out.equals(out2)
 
 
+def test_ivf_hash_sample_unbiased_on_clustered_order(ray_session, tmp_path):
+    """Quantizer training sample on a source-ORDERED corpus: rows arrive
+    grouped by cluster (source A's vectors first, then B's, ...).  A
+    first-N ``limit()`` pull sees only the leading cluster; the md5-coin
+    hash sample must cover every cluster.  Also checks the bound: the
+    coin keeps roughly sample_rows vectors, not the whole corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    rng = np.random.default_rng(3)
+    k, per = 4, 1000
+    centers = rng.normal(0.0, 10.0, size=(k, 8))
+    vecs = np.concatenate(
+        [centers[c] + rng.normal(0, 0.1, size=(per, 8)) for c in range(k)])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(k * per), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    ds = ray.data.read_parquet(str(tmp_path / "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    sample = t._hash_sample_matrix(ds, 256)
+    assert 128 <= sample.shape[0] <= 512, sample.shape  # bounded, near target
+    assigned = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(2).argmin(1)
+    assert set(assigned.tolist()) == set(range(k)), (
+        "hash sample missed a cluster — order bias")
+    # the biased baseline this replaces: first-N covers ONLY cluster 0
+    first = np.asarray(ds.limit(256).to_pandas()["embedding"].to_list())
+    first_assigned = ((first[:, None, :] - centers[None, :, :]) ** 2).sum(2).argmin(1)
+    assert set(first_assigned.tolist()) == {0}
+
+
 def test_md5vec_bit_parity_with_hashlib():
     """The vectorized MD5 core must match hashlib bit-for-bit on every
     padding regime (empty, one-, two- and many-block messages) — the text

@@ -50,11 +50,21 @@ def main(argv=None):
                              "lang-id", "fingerprints", "sample", "sample-stratified",
                              "split", "heavy-hitters", "length-quantiles",
                              "length-buckets", "overlap-matrix",
+                             "dedup-ngram",
                              "kmeans", "kmeans-step", "label-centroids", "knn",
                              "curate", "decontaminate", "mix"],
                     help="text/embed: which operator to run")
     ap.add_argument("--sf-dir", default=None,
                     help="text: directory holding documents.parquet")
+    # production scale knobs (SCALE.md §3): the CLI defaults flip the caps
+    # ON — exact mode (None) is the oracle-gate configuration, reachable
+    # with --bucket-cap 0 / --df-cap 0
+    ap.add_argument("--bucket-cap", type=int, default=2048,
+                    help="text dedup: star-pair LSH buckets larger than this "
+                         "(0 = exact all-pairs mode)")
+    ap.add_argument("--df-cap", type=int, default=512,
+                    help="text dedup-ngram: drop shingles shared by more "
+                         "than this many docs (0 = keep all)")
     args = ap.parse_args(argv)
 
     if args.job in ("text", "embed") and not args.sf_dir:
@@ -115,13 +125,16 @@ def main(argv=None):
         from ts_pymfe_ray.pipelines import queries as q
         from ts_pymfe_ray.pipelines import textops as t
 
+        bcap = args.bucket_cap or None
+        dcap = args.df_cap or None
         op = {
             "quality": t.q_text_quality_full,
             "quality-filter": t.q_quality_filter,
             "dedup-exact": q.q_dedup_exact_keep_first,
-            "dedup-minhash": t.q_dedup_minhash,
-            "dedup-simhash": t.q_dedup_simhash,
-            "dedup-clusters": t.q_dedup_clusters,
+            "dedup-minhash": lambda d: t.q_dedup_minhash(d, bucket_cap=bcap),
+            "dedup-simhash": lambda d: t.q_dedup_simhash(d, bucket_cap=bcap),
+            "dedup-clusters": lambda d: t.q_dedup_clusters(d, bucket_cap=bcap),
+            "dedup-ngram": lambda d: t.q_dedup_ngram_jaccard(d, df_cap=dcap),
             "lang-id": t.q_lang_id,
             "fingerprints": t.q_doc_fingerprints,
             # corpus-curation pack (round 4)

@@ -1785,8 +1785,8 @@ def q_embeddings_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame
     """Distributed spherical k-means, `iters` Lloyd iterations: each pass
     streams the corpus once (GEMM assignment per batch), reduces K x (dim+2)
     partial rows, and the driver recombines centroids (empty clusters keep
-    their previous centroid).  Rows-only (iterative); every per-pass
-    building block is the SQL-oracled q_embeddings_kmeans_step machinery."""
+    their previous centroid).  Hash-exact against a chained step-CTE DuckDB
+    twin (five a->m->c CTE rounds in __ray_entry__.oracle_sql)."""
     cents = _load_centroids(sf_dir, k)
     dim = cents.shape[1]
     scols = [f"s{j}" for j in range(dim)]

@@ -1142,14 +1142,43 @@ def _kmeans_lite(sample: np.ndarray, k: int = 16, iters: int = 10, seed: int = 1
 _IVF_CACHE_ROOT = "/tmp/ts_pymfe_ray_ivf"
 
 
+def _hash_sample_matrix(ds, sample_rows: int) -> np.ndarray:
+    """Unbiased bounded quantizer-training sample: keep a vector iff
+    md5(vec_id) falls under a rate set from the metadata row count, a pure
+    map-side coin (the ``q_documents_sample_hash`` machinery).  A
+    ``ds.limit(n)`` first-N pull is order-biased — on a source-ordered
+    corpus the quantizer would train on ONE source's cluster and starve
+    the rest — while the hash coin sees every shard uniformly and stays
+    deterministic/resumable.  Only the ~sample_rows survivors reach the
+    driver."""
+    from ts_pymfe_ray.functions.md5vec import md5_lower64_list
+
+    total = ds.count()  # parquet metadata count — no data scan
+    if total <= sample_rows:
+        sample = ds.to_pandas()
+    else:
+        # 2^32-grain coin: fine enough that rate*total tracks sample_rows
+        # closely at any corpus size (the %100 coin would quantize to 1%)
+        thresh = np.uint64(int(np.ceil(sample_rows / total * 2**32)))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            h = md5_lower64_list([str(int(i)).encode() for i in ids])
+            return batch.filter(pa.array((h % np.uint64(2**32)) < thresh))
+
+        sample = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return np.asarray(sample["embedding"].to_list(), dtype=np.float64)
+
+
 def build_ivf_index(sf_dir: str, n_cells: int = 16,
                     sample_rows: int = 2048) -> tuple[str, np.ndarray]:
     """One-off IVF layout build (cached per (input, n_cells)): train the
-    coarse quantizer on a ``ds.limit`` sample (bounded driver pull), assign
-    every vector to its nearest centroid via map_batches, and write a
-    hive-partitioned parquet layout ``cell=K/``.  Queries then read ONLY
-    the probed partitions — at 10^9+ vectors the scan touches
-    n_probe/n_cells of the corpus and nothing else leaves storage.
+    coarse quantizer on an md5-coin hash sample (unbiased, bounded driver
+    pull — see _hash_sample_matrix), assign every vector to its nearest
+    centroid via map_batches, and write a hive-partitioned parquet layout
+    ``cell=K/``.  Queries then read ONLY the probed partitions — at 10^9+
+    vectors the scan touches n_probe/n_cells of the corpus and nothing
+    else leaves storage.
 
     Returns (index_dir, centroids)."""
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -1159,7 +1188,7 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16,
     # when the quantizer/assignment code changes
     st = os.stat(src)
     tag = hashlib.blake2b(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{n_cells}|{sample_rows}|ivf-v2".encode(),
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{n_cells}|{sample_rows}|ivf-v3".encode(),
         digest_size=8,
     ).hexdigest()
     out_dir = os.path.join(_IVF_CACHE_ROOT, tag)
@@ -1168,8 +1197,7 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16,
         return out_dir, np.load(cpath)
 
     ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
-    sample = ds.limit(sample_rows).to_pandas()
-    mat_sample = np.asarray(sample["embedding"].to_list(), dtype=np.float64)
+    mat_sample = _hash_sample_matrix(ds, sample_rows)
     centroids = _kmeans_lite(mat_sample, k=n_cells)
 
     def assign(batch: pa.Table) -> pa.Table:
