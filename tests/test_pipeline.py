@@ -695,6 +695,30 @@ def test_window_family_distributed_matches_per_user(ray_session, tmp_path_factor
     pd.testing.assert_frame_equal(q.q_events_gapfill_rollup(d), ref_gapfill())
 
 
+def test_acf1_span_partials_match_whole_history(ray_session, tmp_path_factory):
+    """The span-partial acf1 must equal np.corrcoef over each type's full
+    chronological history (to the shared 6dp rounding) — on a fixture with
+    one hot type carrying 100x the events of the others, so the partials
+    path (many spans merged via boundary pairs) is actually exercised."""
+    import pandas as pd
+    from ts_pymfe_ray.functions.rounding import round_ha
+    from ts_pymfe_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("acf1events"))
+    df = _write_events(d, {1: 60_000, 2: 400, 3: 150}, seed=9)
+    got = q.q_events_acf1(d, span_hours=6)
+
+    exp_rows = []
+    for et, g in df.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].to_numpy()
+        r = float(np.corrcoef(v[:-1], v[1:])[0, 1]) if v.size >= 3 else np.nan
+        exp_rows.append({"event_type": et, "acf1": round_ha(r),
+                         "n": np.int64(v.size)})
+    exp = pd.DataFrame(exp_rows).sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_range_join_bucketed_matches_per_user(ray_session, tmp_path_factory):
     """The interval-bucketed range join must equal the whole-user-per-task
     reference form exactly (integer lag math) — including on a dense user

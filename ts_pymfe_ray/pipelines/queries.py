@@ -114,24 +114,76 @@ def q_events_user_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return g.reset_index(drop=True)
 
 
-def q_events_acf1(sf_dir: str) -> pd.DataFrame:
+def q_events_acf1(sf_dir: str, span_hours: int | None = None) -> pd.DataFrame:
     """Lag-1 autocorrelation (Pearson r of value vs previous value in time
-    order) per event_type — the ACF operator in SQL-checkable form."""
+    order) per event_type — the ACF operator in SQL-checkable form.
+
+    Distributed by TIME SPAN like the user-window family: each
+    (event_type, span) task reduces its chronologically sorted slice to
+    ONE row of adjacent-pair sums (sx/sy/sxy/sx2/sy2/npairs) plus its
+    first/last value; the per-type merge then runs over span ROWS (one
+    per active span — bounded by time range, not key frequency), adds the
+    cross-span boundary pairs, and assembles Pearson r from the merged
+    sums.  A hot event_type with 10^9 events never materializes in one
+    task."""
+    import pyarrow.compute as pc
+
+    span_us = (span_hours or _SPAN_HOURS) * 3600 * 1_000_000
     ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
 
-    def per_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        v = df["value"].to_numpy()
-        if v.size < 3:
+    def tag(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "span_id": pc.divide(ts_us, span_us),
+            "ts_us": ts_us,
+            "event_id": batch.column("event_id"),
+            "value": batch.column("value"),
+        })
+
+    def per_span(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_us", "event_id"])
+        v = df["value"].to_numpy(dtype=np.float64)
+        x, y = v[:-1], v[1:]
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "span_id": [np.int64(df["span_id"].iloc[0])],
+            "cnt": [np.int64(v.size)],
+            "npairs": [np.int64(x.size)],
+            "sx": [float(x.sum())], "sy": [float(y.sum())],
+            "sxy": [float((x * y).sum())],
+            "sx2": [float((x * x).sum())], "sy2": [float((y * y).sum())],
+            "first_v": [float(v[0])], "last_v": [float(v[-1])],
+        })
+
+    def merge_type(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("span_id")
+        bx = df["last_v"].to_numpy()[:-1]   # boundary pairs: last of span k
+        by = df["first_v"].to_numpy()[1:]   # with first of next active span
+        n_events = int(df["cnt"].sum())
+        if n_events < 3:
             r = np.nan
         else:
-            r = float(np.corrcoef(v[:-1], v[1:])[0, 1])
+            m = float(int(df["npairs"].sum()) + bx.size)
+            sx = float(df["sx"].sum() + bx.sum())
+            sy = float(df["sy"].sum() + by.sum())
+            sxy = float(df["sxy"].sum() + (bx * by).sum())
+            sx2 = float(df["sx2"].sum() + (bx * bx).sum())
+            sy2 = float(df["sy2"].sum() + (by * by).sum())
+            den = (m * sx2 - sx * sx) * (m * sy2 - sy * sy)
+            r = float((m * sxy - sx * sy) / np.sqrt(den)) if den > 0 else np.nan
         return pd.DataFrame(
             {"event_type": [df["event_type"].iloc[0]], "acf1": [round_ha(r)],
-             "n": [np.int64(v.size)]}
+             "n": [np.int64(n_events)]}
         )
 
-    out = ds.groupby("event_type").map_groups(per_group, batch_format="pandas").to_pandas()
+    spans = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "span_id"])
+        .map_groups(per_span, batch_format="pandas")
+    )
+    out = spans.groupby("event_type").map_groups(
+        merge_type, batch_format="pandas").to_pandas()
     return out.sort_values("event_type").reset_index(drop=True)
 
 
