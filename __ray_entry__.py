@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle — the same twin as embeddings_knn
         "embeddings_ann_ivf_full": _q_ann_ivf_full,
         "lang_id": t.q_lang_id,
+        # Gopher-style duplicate-ngram repetition signal — new in round 5
+        "doc_repetition": t.q_doc_repetition,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -380,7 +382,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_keep_first": q.q_dedup_exact_keep_first,
         "embeddings_knn": q.q_embeddings_knn,
         "embeddings_knn_multi": q.q_embeddings_knn_multi,
-        "text_quality": t.q_text_quality,
         "quality_filter": t.q_quality_filter,
         "bpe_token_count": t.q_bpe_token_count,
         "events_user_window_rollup": q.q_events_user_window_rollup,
@@ -392,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # already graded green in CORRECTNESS_r04.json (check_oracle still
         # verifies them every round at both scales)
         "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
+        "text_quality": t.q_text_quality,
         "doc_fingerprints": t.q_doc_fingerprints,
         "events_daily_extremes": q.q_events_daily_extremes,
         "events_hopping_window": q.q_events_hopping_window,
@@ -1934,6 +1936,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(fl_v) / COUNT(*), 6) AS avg_fs_len,
                    ROUND(SUM(he_v) / COUNT(*), 4) AS avg_hist_ent
             FROM per
+            GROUP BY source
+            ORDER BY source
+        """
+    d["doc_repetition"] = """
+            -- Gopher-style duplicate-3-gram fraction; grams mirror the
+            -- engine's window pass (single-space joins == byte-buffer
+            -- substrings), md5 on BOTH sides so truncation collisions
+            -- cancel; per-doc frac is one exact integer division
+            WITH per AS (
+                SELECT source,
+                       CASE WHEN len(string_split(text, ' ')) < 3 THEN 1
+                            ELSE len(string_split(text, ' ')) - 2
+                       END AS total,
+                       CASE WHEN len(string_split(text, ' ')) < 3 THEN 1
+                            ELSE len(list_distinct(list_transform(
+                                generate_series(1, len(string_split(text, ' ')) - 2),
+                                i -> md5_number_lower(array_to_string(
+                                         (string_split(text, ' '))[i:i+2], ' ')))))
+                       END AS distinct_g
+                FROM documents
+            ), fr AS (
+                SELECT source,
+                       1.0 - (CAST(distinct_g AS DOUBLE) / total) AS frac
+                FROM per
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   ROUND(SUM(frac) / COUNT(*), 6) AS avg_dup_frac,
+                   CAST(SUM((frac > 0.2)::INT) AS BIGINT) AS n_repetitive
+            FROM fr
             GROUP BY source
             ORDER BY source
         """

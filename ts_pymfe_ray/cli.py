@@ -47,7 +47,8 @@ def main(argv=None):
     ap.add_argument("--op", default="quality",
                     choices=["quality", "quality-filter", "dedup-exact",
                              "dedup-minhash", "dedup-simhash", "dedup-clusters",
-                             "lang-id", "fingerprints", "sample", "sample-stratified",
+                             "lang-id", "repetition", "fingerprints",
+                             "sample", "sample-stratified",
                              "split", "heavy-hitters", "length-quantiles",
                              "length-buckets", "overlap-matrix",
                              "dedup-ngram",
@@ -136,6 +137,7 @@ def main(argv=None):
             "dedup-clusters": lambda d: t.q_dedup_clusters(d, bucket_cap=bcap),
             "dedup-ngram": lambda d: t.q_dedup_ngram_jaccard(d, df_cap=dcap),
             "lang-id": t.q_lang_id,
+            "repetition": t.q_doc_repetition,
             "fingerprints": t.q_doc_fingerprints,
             # corpus-curation pack (round 4)
             "sample": q.q_documents_sample_hash,

@@ -1074,6 +1074,56 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return g.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
 
 
+def q_doc_repetition(sf_dir: str, gate: float = 0.2) -> pd.DataFrame:
+    """Gopher-style repetition quality signal: per doc, the fraction of
+    word-3-gram OCCURRENCES that are duplicates of an earlier gram
+    (1 - distinct/total over ALL windows — boilerplate and looped text
+    score high), aggregated per source with a count of docs above the
+    ``gate`` threshold (the filter a curation pipeline would apply).
+
+    Shape: one vectorized md5 window pass per batch (the dedup machinery,
+    duplicates kept), per-batch combiner collapses to one row per source
+    — nothing per-doc leaves the tasks.  Per-doc fractions are single
+    IEEE divisions of exact integer counts, so the gate compare and the
+    SQL twin are exact; only the per-source sum carries association noise
+    (rounded 6dp, the standard recipe)."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        if not texts:
+            return pa.schema([
+                ("source", pa.string()), ("n", pa.int64()),
+                ("frac_sum", pa.float64()), ("n_rep", pa.int64()),
+            ]).empty_table()
+        flat, offs, lens, doc_off = _doc_windows(texts, 3)
+        h = md5_lower64(flat, offs, lens)
+        total = np.diff(doc_off)
+        distinct = np.fromiter(
+            (np.unique(h[doc_off[i]: doc_off[i + 1]]).size
+             for i in range(len(texts))), np.int64, count=len(texts))
+        frac = 1.0 - distinct / total
+        df = pd.DataFrame({"source": srcs, "frac": frac,
+                           "rep": (frac > gate).astype(np.int64)})
+        g = df.groupby("source").agg(
+            n=("frac", "size"), frac_sum=("frac", "sum"), n_rep=("rep", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("source").agg(
+        n=("n", "sum"), frac_sum=("frac_sum", "sum"), n_rep=("n_rep", "sum")
+    ).reset_index()
+    out = pd.DataFrame({
+        "source": g["source"],
+        "n_docs": g["n"].astype("int64"),
+        "avg_dup_frac": round_ha((g["frac_sum"] / g["n"].to_numpy()).to_numpy()),
+        "n_repetitive": g["n_rep"].astype("int64"),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def _md5_64(s: str) -> int:
     """Low 64 bits of MD5 (digest bytes 8..16, little-endian) — bit-identical
     to DuckDB's md5_number_lower(), so fingerprints are SQL-oracle-checkable
