@@ -350,7 +350,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_kernel_affine2": _q_seq_kernel_affine2,
         "seq_gapfill_mean": _q_seq_gapfill_mean,
         # --- hash-exact, driver-graded round 4 (kept inside the window) ---
-        "events_window_rollup": q.q_events_window_rollup,
         "events_user_topk": q.q_events_user_topk,
         "events_acf1": q.q_events_acf1,
         "lineitem_pricing": q.q_lineitem_pricing,
@@ -362,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_sample_hash": q.q_documents_sample_hash,
         "documents_sample_stratified": q.q_documents_sample_stratified,
         "documents_heavy_hitters": q.q_documents_heavy_hitters,
+        # per-source vocabulary profile — new in round 5
+        "source_top_terms": q.q_source_top_terms,
         "documents_length_quantiles": q.q_documents_length_quantiles,
         "documents_length_buckets": q.q_documents_length_buckets,
         "documents_split_assign": q.q_documents_split_assign,
@@ -392,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- beyond the driver's 50-query window: hash-exact operators ---
         # already graded green in CORRECTNESS_r04.json (check_oracle still
         # verifies them every round at both scales)
+        "events_window_rollup": q.q_events_window_rollup,
         "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
         "text_quality": t.q_text_quality,
         "doc_fingerprints": t.q_doc_fingerprints,
@@ -1938,6 +1940,18 @@ def oracle_sql() -> dict[str, str]:
             FROM per
             GROUP BY source
             ORDER BY source
+        """
+    d["source_top_terms"] = """
+            SELECT source, rank, word, cnt FROM (
+                SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY COUNT(*) DESC, word)
+                           AS rank
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                GROUP BY source, word)
+            WHERE rank <= 5
+            ORDER BY source, rank
         """
     d["doc_repetition"] = """
             -- Gopher-style duplicate-3-gram fraction; grams mirror the

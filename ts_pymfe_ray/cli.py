@@ -49,7 +49,8 @@ def main(argv=None):
                              "dedup-minhash", "dedup-simhash", "dedup-clusters",
                              "lang-id", "repetition", "fingerprints",
                              "sample", "sample-stratified",
-                             "split", "heavy-hitters", "length-quantiles",
+                             "split", "heavy-hitters", "top-terms",
+                             "length-quantiles",
                              "length-buckets", "overlap-matrix",
                              "dedup-ngram",
                              "kmeans", "kmeans-step", "label-centroids", "knn",
@@ -144,6 +145,7 @@ def main(argv=None):
             "sample-stratified": q.q_documents_sample_stratified,
             "split": q.q_documents_split_assign,
             "heavy-hitters": q.q_documents_heavy_hitters,
+            "top-terms": q.q_source_top_terms,
             "length-quantiles": q.q_documents_length_quantiles,
             "length-buckets": q.q_documents_length_buckets,
             "overlap-matrix": t.q_source_overlap_matrix,

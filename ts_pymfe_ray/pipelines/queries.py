@@ -1654,6 +1654,62 @@ def q_documents_heavy_hitters(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return g[["word", "cnt"]].reset_index(drop=True)
 
 
+def q_source_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-source top-k vocabulary terms (the corpus-profiling report a
+    curation run uses to spot boilerplate and domain drift).
+
+    Same distributed shape as the global heavy hitters: per-batch
+    np.unique collapses to (source, word) count rows (shuffle bounded by
+    vocabulary x sources, never corpus size), a groupby merges counts,
+    and each output block keeps only its per-source top-k candidates —
+    the union of per-block top-ks provably contains the true per-source
+    top-k, so the driver merge sees <= k x blocks x sources tiny rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        if not texts:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "word": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        srcs = batch.column("source").to_pylist()
+        words = [t.split(" ") for t in texts]
+        src_rep = np.repeat(np.array(srcs, dtype=object),
+                            [len(w) for w in words])
+        df = pd.DataFrame({"source": src_rep,
+                           "word": np.concatenate([np.array(w, dtype=object)
+                                                   for w in words])})
+        g = df.groupby(["source", "word"], observed=True).size() \
+              .reset_index(name="c")
+        return pa.table({"source": pa.array(g["source"].tolist(), pa.string()),
+                         "word": pa.array(g["word"].tolist(), pa.string()),
+                         "c": pa.array(g["c"].to_numpy(), pa.int64())})
+
+    counts = (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("c"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["source", "sum(c)", "word"],
+                            ascending=[True, False, True])
+        df = df.groupby("source", group_keys=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = counts.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    g = partials.rename(columns={"sum(c)": "cnt"})
+    g = g.sort_values(["source", "cnt", "word"], ascending=[True, False, True])
+    g = g.groupby("source", group_keys=False).head(k).reset_index(drop=True)
+    g["rank"] = g.groupby("source").cumcount() + 1
+    g["cnt"] = g["cnt"].astype("int64")
+    g["rank"] = g["rank"].astype("int64")
+    return g[["source", "rank", "word", "cnt"]].reset_index(drop=True)
+
+
 def _length_histogram(sf_dir: str) -> pd.DataFrame:
     """Distributed exact value-count histogram of n_chars per source.
 
