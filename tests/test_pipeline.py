@@ -544,14 +544,15 @@ def _write_events(path, n_per_user, seed=5, days=30):
 
 
 def _ref_window_rollup(df, bucket=16):
-    """Whole-user-per-task reference form (the round-4 implementation)."""
+    """Whole-user-per-task reference form (the round-4 implementation),
+    on the exact-cents stream the round-5 queries sketch."""
     import pandas as pd
     from ts_pymfe_ray.functions.rounding import round_ha
 
     out = []
     for uid, g in df.groupby("user_id"):
         g = g.sort_values(["ts", "event_id"])
-        v = g["value"].to_numpy()
+        v = np.round(g["value"].to_numpy() * 100)
         m = sk.compute_window_sketches(v, bucket)
         m[:, sk.FIELDS.index("s1")] = sk.seq_window_sums(v, bucket)
         f = sk.derive_features(m)
@@ -560,8 +561,8 @@ def _ref_window_rollup(df, bucket=16):
             "user_id": np.full(nw, uid, dtype=np.int64),
             "window_id": np.arange(nw, dtype=np.int64),
             "value_count": f["count"].astype(np.int64),
-            "value_mean": round_ha(f["mean"]),
-            "value_var": round_ha(f["var"]),
+            "value_mean": round_ha(f["mean"] / 100.0),
+            "value_var": round_ha(f["var"] / 10000.0),
         }))
     return (pd.concat(out, ignore_index=True)
             .sort_values(["user_id", "window_id"]).reset_index(drop=True))
@@ -614,7 +615,7 @@ def test_window_family_distributed_matches_per_user(ray_session, tmp_path_factor
         out = []
         for uid, g in df.groupby("user_id"):
             g = g.sort_values(["ts", "event_id"])
-            v = g["value"].to_numpy()
+            v = np.round(g["value"].to_numpy() * 100)  # exact-cents stream
             fine = sk.compute_window_sketches(v, bucket)
             s1 = sk.FIELDS.index("s1")
             fine[:, s1] = sk.seq_window_sums(v, bucket)
@@ -626,8 +627,8 @@ def test_window_family_distributed_matches_per_user(ray_session, tmp_path_factor
                 "user_id": np.full(nw, uid, dtype=np.int64),
                 "window_id": np.arange(nw, dtype=np.int64),
                 "value_count": f["count"].astype(np.int64),
-                "value_mean": round_ha(f["mean"]),
-                "value_var": round_ha(f["var"]),
+                "value_mean": round_ha(f["mean"] / 100.0),
+                "value_var": round_ha(f["var"] / 10000.0),
             }))
         return (pd.concat(out, ignore_index=True)
                 .sort_values(["user_id", "window_id"]).reset_index(drop=True))

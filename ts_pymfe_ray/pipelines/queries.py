@@ -36,15 +36,30 @@ def grouped_stats(
     value_col: str,
     out_prefix: str | None = None,
     sum_decimals: int = ROUND,
+    cents: bool = False,
 ) -> pd.DataFrame:
     """Partial+final grouped (count, sum, min, max, mean): combiner inside
-    map_batches, then a pandas merge of the (tiny) partial rows."""
+    map_batches, then a pandas merge of the (tiny) partial rows.
+
+    ``cents=True`` is the exactness recipe for 2dp-granular value columns
+    (the events stream): sums accumulate as EXACT int64 hundredths, so the
+    merged sum is association-order-free and the derived sum/mean are the
+    same IEEE doubles on the engine and DuckDB side regardless of scale —
+    plain float sums hit the 6dp rounding half boundary at sf0.1+ (e.g. a
+    2dp mean over a 16-multiple count ends exactly in ...0625)."""
     pref = out_prefix or value_col
 
     def combiner(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        g = df.groupby(keys, observed=True)[value_col].agg(["count", "sum", "min", "max"])
-        g = g.reset_index()
+        if cents:
+            df = df.assign(
+                _c=np.round(df[value_col].to_numpy() * 100).astype(np.int64))
+            g = df.groupby(keys, observed=True).agg(
+                count=(value_col, "size"), sum=("_c", "sum"),
+                min=(value_col, "min"), max=(value_col, "max")).reset_index()
+        else:
+            g = df.groupby(keys, observed=True)[value_col].agg(
+                ["count", "sum", "min", "max"]).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(combiner, batch_format="pyarrow").to_pandas()
@@ -55,8 +70,13 @@ def grouped_stats(
     out[f"{pref}_count"] = g["cnt"].astype("int64")
     # float64 + DuckDB-identical rounding so the driver hash matches the
     # oracle's ROUND(...) doubles even for integer value columns
-    out[f"{pref}_sum"] = round_ha(g["s"].to_numpy(), sum_decimals)
-    out[f"{pref}_mean"] = round_ha((g["s"] / g["cnt"]).to_numpy())
+    if cents:
+        s = g["s"].to_numpy().astype(np.float64) / 100.0
+        out[f"{pref}_sum"] = round_ha(s, sum_decimals)
+        out[f"{pref}_mean"] = round_ha(s / g["cnt"].to_numpy())
+    else:
+        out[f"{pref}_sum"] = round_ha(g["s"].to_numpy(), sum_decimals)
+        out[f"{pref}_mean"] = round_ha((g["s"] / g["cnt"]).to_numpy())
     out[f"{pref}_min"] = round_ha(g["mn"].to_numpy())
     out[f"{pref}_max"] = round_ha(g["mx"].to_numpy())
     return out.sort_values(keys).reset_index(drop=True)
@@ -76,7 +96,8 @@ def q_events_window_rollup(sf_dir: str) -> pd.DataFrame:
         return batch.append_column("hour_bucket", pa.array(bucket, pa.int64()))
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return grouped_stats(ds, ["event_type", "hour_bucket"], "value")
+    return grouped_stats(ds, ["event_type", "hour_bucket"], "value",
+                         cents=True)
 
 
 def q_events_user_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -479,7 +500,8 @@ def q_events_hopping_window(sf_dir: str, width_hours: int = 2,
         )
 
     ds = ds.map_batches(explode, batch_format="pyarrow")
-    return grouped_stats(ds, ["event_type", "window_id"], "value")
+    return grouped_stats(ds, ["event_type", "window_id"], "value",
+                         cents=True)
 
 
 def q_events_daily_extremes(sf_dir: str) -> pd.DataFrame:
@@ -495,6 +517,120 @@ def q_events_daily_extremes(sf_dir: str) -> pd.DataFrame:
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     out = grouped_stats(ds, ["event_type", "day_bucket"], "value")
     return out[["event_type", "day_bucket", "value_count", "value_min", "value_max"]]
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-style revenue rollup — the SHUFFLE equi-join shape (both
+    join sides too big to broadcast at production scale, unlike the
+    orders_by_mktsegment broadcast join):
+
+    1. lineitem: per-batch combiner collapses to (l_orderkey, rev, n)
+       partial rows — the shuffle carries order-grain partials, never
+       line items;
+    2. orders co-partitioned by a groupby(orderkey) over the tagged UNION
+       of both sides; each group is ONE order row plus its few batch
+       partials — bounded regardless of skew — and resolves to
+       (custkey, rev, n_orders=1);
+    3. the same union+groupby join against customer on custkey yields
+       (nationkey, rev, n_orders) partials (a hot customer's group holds
+       one row per batch that saw it, not its orders);
+    4. a nationkey groupby sums partials; only the 25-row nation name map
+       is broadcast.
+
+    Revenue sums are rounded to 2dp on both sides (the 1e8-magnitude sum
+    recipe shared with lineitem_pricing).  The per-key resolution runs as
+    NATIVE vectorized aggregates, not per-group Python: the build side's
+    payload travels as Max(pay) (exactly one build row per key, filler
+    -1 on probe rows), presence flags as Sums — one groupby per hop, no
+    map_groups."""
+    from ray.data.aggregate import Max, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def li_combiner(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy()
+        rev = (batch.column("l_extendedprice").to_numpy()
+               * (1 - batch.column("l_discount").to_numpy()))
+        df = pd.DataFrame({"key": k, "rev": rev})
+        g = df.groupby("key").agg(rev=("rev", "sum"),
+                                  n=("rev", "size")).reset_index()
+        m = len(g)
+        return pa.table({"key": pa.array(g["key"].to_numpy(), pa.int64()),
+                         "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+                         "cnt": pa.array(np.ones(m, np.int64), pa.int64()),
+                         "pay": pa.array(np.full(m, -1, np.int64), pa.int64()),
+                         "left": pa.array(np.zeros(m, np.int64), pa.int64())})
+
+    def orders_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"key": pa.array(batch.column("o_orderkey").to_numpy(), pa.int64()),
+                         "rev": pa.array(np.zeros(n, np.float64), pa.float64()),
+                         "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "pay": pa.array(batch.column("o_custkey").to_numpy(), pa.int64()),
+                         "left": pa.array(np.ones(n, np.int64), pa.int64())})
+
+    joined1 = (
+        li.map_batches(li_combiner, batch_format="pyarrow")
+        .union(orders.map_batches(orders_rows, batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(Sum("rev"), Sum("cnt"), Max("pay"), Sum("left"))
+    )
+
+    def retag_cust(batch: pa.Table) -> pa.Table:
+        # inner-join filter: keep keys seen on BOTH sides, re-key on cust
+        ok = (batch.column("sum(left)").to_numpy() > 0) & \
+             (batch.column("sum(cnt)").to_numpy() > 0)
+        n = int(ok.sum())
+        return pa.table({"key": pa.array(batch.column("max(pay)").to_numpy()[ok], pa.int64()),
+                         "rev": pa.array(batch.column("sum(rev)").to_numpy()[ok], pa.float64()),
+                         "cnt": pa.array(np.ones(n, np.int64), pa.int64()),
+                         "pay": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                         "left": pa.array(np.zeros(n, np.int64), pa.int64())})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"key": pa.array(batch.column("c_custkey").to_numpy(), pa.int64()),
+                         "rev": pa.array(np.zeros(n, np.float64), pa.float64()),
+                         "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "pay": pa.array(batch.column("c_nationkey").to_numpy(), pa.int64()),
+                         "left": pa.array(np.ones(n, np.int64), pa.int64())})
+
+    joined2 = (
+        joined1.map_batches(retag_cust, batch_format="pyarrow")
+        .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(Sum("rev"), Sum("cnt"), Max("pay"), Sum("left"))
+    )
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        ok = (batch.column("sum(left)").to_numpy() > 0) & \
+             (batch.column("sum(cnt)").to_numpy() > 0)
+        return pa.table({"nationkey": pa.array(batch.column("max(pay)").to_numpy()[ok], pa.int64()),
+                         "rev": pa.array(batch.column("sum(rev)").to_numpy()[ok], pa.float64()),
+                         "n_orders": pa.array(batch.column("sum(cnt)").to_numpy()[ok], pa.int64())})
+
+    by_nation = (
+        joined2.map_batches(to_nation, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("rev"), Sum("n_orders"))
+        .to_pandas()
+    )
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    out = pd.DataFrame({
+        "n_name": [names[int(k)] for k in by_nation["nationkey"]],
+        "n_orders": by_nation["sum(n_orders)"].astype("int64"),
+        "revenue": round_ha(by_nation["sum(rev)"].to_numpy(), 2),
+    })
+    return out.sort_values("n_name").reset_index(drop=True)
 
 
 def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
@@ -537,9 +673,9 @@ def q_orders_monthly(sf_dir: str) -> pd.DataFrame:
         return batch.append_column("order_month", pa.array(ym.to_numpy(), pa.int64()))
 
     ds = ds.map_batches(add_month, batch_format="pyarrow")
-    # per-month price sums reach 1e7-1e8: round to 2dp on both sides
+    # per-month price sums reach 1e7-1e8: exact integer cents + 2dp round
     return grouped_stats(ds, ["order_month"], "o_totalprice", out_prefix="price",
-                         sum_decimals=2)
+                         sum_decimals=2, cents=True)
 
 
 def q_events_value_var(sf_dir: str) -> pd.DataFrame:
@@ -619,18 +755,34 @@ def _empty_span_parts() -> pd.DataFrame:
 
 
 def _positional_window_sketches(sf_dir: str, bucket: int,
-                                span_hours: int = _SPAN_HOURS):
+                                span_hours: int = _SPAN_HOURS,
+                                cents: bool = False):
     """One sketch row per (user_id, positional window_id) — distributed as
     described in the engine comment above.  Returns a Dataset with columns
     ``user_id, window_id`` + ``_SKETCH_COLS`` (``s1`` pairwise as the
     ladder stores it, ``s1_seq`` strictly sequential for the decimal-grid
-    oracle means)."""
+    oracle means).
+
+    ``cents=True`` sketches EXACT int64 hundredths of the 2dp-granular
+    value stream (values stay float64 so the sketch kernels are exercised
+    unchanged, but every s1/s2 power sum is an exact integer — the same
+    order-exactness the gap-free token twins rely on).  Callers divide the
+    derived mean/var by 100 / 10^4; mean-on-the-6dp-half-boundary flips
+    (hit at sf0.1) become impossible because the pre-division stats are
+    identical doubles on both sides."""
     from ray.data.aggregate import Count
 
     from ts_pymfe_ray.functions import sketch as sk
 
     span_us = span_hours * 3600 * 1_000_000
     tagged = _tag_events_for_spans(sf_dir, span_us)
+    if cents:
+        def to_cents(batch: pa.Table) -> pa.Table:
+            v = np.round(batch.column("value").to_numpy() * 100)
+            return batch.set_column(batch.schema.get_field_index("value"),
+                                    "value", pa.array(v, pa.float64()))
+
+        tagged = tagged.map_batches(to_cents, batch_format="pyarrow")
     joined = _join_span_offsets(tagged)
 
     def per_span(df: pd.DataFrame) -> pd.DataFrame:
@@ -785,13 +937,15 @@ def q_events_user_window_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
     ``bucket`` observations are aggregated with the SAME sketch kernels the
     tier ladder uses (compute_window_sketches -> derive_features), fully
     distributed via the positional-window engine (no user history is ever
-    co-located).  DuckDB twin: row_number() partitioned windows with
-    count/avg/var_samp.  Oracle twin detail: s1 is the strictly sequential
-    sum so mean matches DuckDB's scalar SUM loop bitwise (mean = s1/16 is
-    dyadic and grid-preserving)."""
+    co-located).  DuckDB twin: row_number() partitioned windows over exact
+    integer CENTS power sums (values are 2dp-granular) — the sketch
+    kernels run unchanged on the cents stream, every s1/s2 is an exact
+    integer, and the derived mean/var are the same doubles on both sides
+    at EVERY scale (raw-float var_samp flipped a 6dp half boundary at
+    sf0.1)."""
     from ts_pymfe_ray.functions import sketch as sk
 
-    sks = _positional_window_sketches(sf_dir, bucket)
+    sks = _positional_window_sketches(sf_dir, bucket, cents=True)
     s1 = sk.FIELDS.index("s1")
 
     def derive(df: pd.DataFrame) -> pd.DataFrame:
@@ -802,8 +956,8 @@ def q_events_user_window_rollup(sf_dir: str, bucket: int = 16) -> pd.DataFrame:
             "user_id": df["user_id"].to_numpy(dtype=np.int64),
             "window_id": df["window_id"].to_numpy(dtype=np.int64),
             "value_count": feats["count"].astype(np.int64),
-            "value_mean": round_ha(feats["mean"]),
-            "value_var": round_ha(feats["var"]),
+            "value_mean": round_ha(feats["mean"] / 100.0),
+            "value_var": round_ha(feats["var"] / 10000.0),
         })
 
     out = sks.map_batches(derive, batch_format="pandas").to_pandas()
@@ -818,10 +972,12 @@ def q_events_user_window_rollup_10x(sf_dir: str, bucket: int = 16, factor: int =
     come from the distributed positional-window engine; the merge itself
     is a (user, coarse window) groupby over SKETCH ROWS (<= factor rows
     per group — n_events/bucket rows total, a 16x data reduction before
-    the only remaining shuffle)."""
+    the only remaining shuffle).  Exact-cents stream like the bucket-16
+    twin (merged power sums stay exact integers through the ladder
+    step)."""
     from ts_pymfe_ray.functions import sketch as sk
 
-    sks = _positional_window_sketches(sf_dir, bucket)
+    sks = _positional_window_sketches(sf_dir, bucket, cents=True)
     s1 = sk.FIELDS.index("s1")
 
     def add_coarse(batch: pa.Table) -> pa.Table:
@@ -844,8 +1000,8 @@ def q_events_user_window_rollup_10x(sf_dir: str, bucket: int = 16, factor: int =
             "user_id": np.array([df["user_id"].iloc[0]], dtype=np.int64),
             "window_id": np.array([df["coarse_id"].iloc[0]], dtype=np.int64),
             "value_count": feats["count"].astype(np.int64),
-            "value_mean": round_ha(feats["mean"]),
-            "value_var": round_ha(feats["var"]),
+            "value_mean": round_ha(feats["mean"] / 100.0),
+            "value_var": round_ha(feats["var"] / 10000.0),
         })
 
     out = (
