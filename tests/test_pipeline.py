@@ -757,3 +757,47 @@ def test_range_join_bucketed_matches_per_user(ray_session, tmp_path_factory):
                 .sort_values("event_id").reset_index(drop=True))
 
     pd.testing.assert_frame_equal(q.q_events_range_join(d), ref())
+
+
+def test_cents_recipe_pins_half_boundary_means(ray_session, tmp_path_factory):
+    """Regression pin for the sf0.1 rounding-boundary class: a 2dp value
+    stream whose hour-bucket mean lands EXACTLY on the 6dp half must
+    produce identical engine and DuckDB output.  Constructed case: 32
+    events in one hour with an ODD cent sum (142623) -> true mean
+    142623/3200 = 44.5696875, an exact 6dp half; the raw-float path put
+    the two sides' ulp-different sums on opposite sides of it at sf0.1.
+    The cents recipe makes both sides compute the SAME double before
+    rounding, so the outputs agree whichever way that double rounds."""
+    from fractions import Fraction
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ts_pymfe_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("boundary"))
+    vals = [44.57] * 31 + [44.56]          # cents sum 142623 (odd), n = 32
+    true_mean = Fraction(sum(round(v * 100) for v in vals), 3200)
+    # sanity: the true mean sits EXACTLY on the 6dp rounding half
+    assert (true_mean * 10**7) % 10 == 5
+    n = len(vals)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "ts": pa.array((t0 + np.arange(n, dtype=np.int64) * 1_000_000)
+                       .view("datetime64[us]")),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(np.array(vals, dtype=np.float64), pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+    got = q.q_events_window_rollup(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    import __ray_entry__ as e
+    exp = con.execute(e.oracle_sql()["events_window_rollup"]).df()
+    assert len(got) == len(exp) == 1
+    for col in ("value_count", "value_sum", "value_mean",
+                "value_min", "value_max"):
+        assert float(got[col].iloc[0]) == float(exp[col].iloc[0]), col
