@@ -828,10 +828,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         "lineitem_pricing": """
+            -- exact integer units (cents / 1e-4 units) so the sums are
+            -- association-order-free on both sides at every scale
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(CAST(SUM(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)) AS DOUBLE) / 100.0, 2)
+                       AS sum_base_price,
+                   ROUND(CAST(SUM(CAST(round((l_extendedprice
+                                              * (1 - l_discount)) * 10000)
+                                       AS BIGINT)) AS DOUBLE) / 10000.0, 2)
+                       AS sum_disc_price,
                    COUNT(*) AS cnt,
                    ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
             FROM lineitem
@@ -1972,7 +1979,9 @@ def oracle_sql() -> dict[str, str]:
     d["revenue_by_nation"] = """
             SELECT n_name,
                    CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   ROUND(CAST(SUM(CAST(round((l.l_extendedprice
+                                              * (1 - l.l_discount)) * 10000)
+                                       AS BIGINT)) AS DOUBLE) / 10000.0, 2)
                        AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -217,11 +217,19 @@ def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
 
     def combiner(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        # exact integer units (the cents recipe): base price is 2dp, the
+        # discounted product is 4dp-granular — integer sums are
+        # association-order-free, so the merged stats are the same doubles
+        # on both sides at every scale (a 4dp disc-price sum can land
+        # EXACTLY on the 2dp rounding half)
+        df["_bp"] = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df["_dp"] = np.round(
+            (df["l_extendedprice"].to_numpy()
+             * (1 - df["l_discount"].to_numpy())) * 10000).astype(np.int64)
         g = df.groupby(["l_returnflag", "l_linestatus"]).agg(
             sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            sum_base_price=("_bp", "sum"),
+            sum_disc_price=("_dp", "sum"),
             cnt=("l_quantity", "size"),
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -234,10 +242,11 @@ def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
         cnt=("cnt", "sum"),
     ).reset_index()
     g["avg_qty"] = round_ha((g["sum_qty"] / g["cnt"]).to_numpy())
-    # 1e8-magnitude sums: 6dp cannot be hash-stable across summation
-    # orders (ulp > 1e-7), so both sides round to 2 decimals
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        g[c] = round_ha(g[c].to_numpy(), 2)
+    g["sum_qty"] = round_ha(g["sum_qty"].to_numpy(), 2)
+    g["sum_base_price"] = round_ha(
+        g["sum_base_price"].to_numpy().astype(np.float64) / 100.0, 2)
+    g["sum_disc_price"] = round_ha(
+        g["sum_disc_price"].to_numpy().astype(np.float64) / 10000.0, 2)
     g["cnt"] = g["cnt"].astype("int64")
     return g.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -550,14 +559,18 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
     def li_combiner(batch: pa.Table) -> pa.Table:
         k = batch.column("l_orderkey").to_numpy()
-        rev = (batch.column("l_extendedprice").to_numpy()
-               * (1 - batch.column("l_discount").to_numpy()))
+        # exact 1e-4 units (the cents recipe): the discounted product is
+        # 4dp-granular, so integer revenue sums are association-order-free
+        # and the final 2dp round can never straddle a half boundary
+        rev = np.round((batch.column("l_extendedprice").to_numpy()
+                        * (1 - batch.column("l_discount").to_numpy()))
+                       * 10000).astype(np.int64)
         df = pd.DataFrame({"key": k, "rev": rev})
         g = df.groupby("key").agg(rev=("rev", "sum"),
                                   n=("rev", "size")).reset_index()
         m = len(g)
         return pa.table({"key": pa.array(g["key"].to_numpy(), pa.int64()),
-                         "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+                         "rev": pa.array(g["rev"].to_numpy(), pa.int64()),
                          "cnt": pa.array(np.ones(m, np.int64), pa.int64()),
                          "pay": pa.array(np.full(m, -1, np.int64), pa.int64()),
                          "left": pa.array(np.zeros(m, np.int64), pa.int64())})
@@ -565,7 +578,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     def orders_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
         return pa.table({"key": pa.array(batch.column("o_orderkey").to_numpy(), pa.int64()),
-                         "rev": pa.array(np.zeros(n, np.float64), pa.float64()),
+                         "rev": pa.array(np.zeros(n, np.int64), pa.int64()),
                          "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
                          "pay": pa.array(batch.column("o_custkey").to_numpy(), pa.int64()),
                          "left": pa.array(np.ones(n, np.int64), pa.int64())})
@@ -583,7 +596,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
              (batch.column("sum(cnt)").to_numpy() > 0)
         n = int(ok.sum())
         return pa.table({"key": pa.array(batch.column("max(pay)").to_numpy()[ok], pa.int64()),
-                         "rev": pa.array(batch.column("sum(rev)").to_numpy()[ok], pa.float64()),
+                         "rev": pa.array(batch.column("sum(rev)").to_numpy()[ok], pa.int64()),
                          "cnt": pa.array(np.ones(n, np.int64), pa.int64()),
                          "pay": pa.array(np.full(n, -1, np.int64), pa.int64()),
                          "left": pa.array(np.zeros(n, np.int64), pa.int64())})
@@ -593,7 +606,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     def cust_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
         return pa.table({"key": pa.array(batch.column("c_custkey").to_numpy(), pa.int64()),
-                         "rev": pa.array(np.zeros(n, np.float64), pa.float64()),
+                         "rev": pa.array(np.zeros(n, np.int64), pa.int64()),
                          "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
                          "pay": pa.array(batch.column("c_nationkey").to_numpy(), pa.int64()),
                          "left": pa.array(np.ones(n, np.int64), pa.int64())})
@@ -609,7 +622,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         ok = (batch.column("sum(left)").to_numpy() > 0) & \
              (batch.column("sum(cnt)").to_numpy() > 0)
         return pa.table({"nationkey": pa.array(batch.column("max(pay)").to_numpy()[ok], pa.int64()),
-                         "rev": pa.array(batch.column("sum(rev)").to_numpy()[ok], pa.float64()),
+                         "rev": pa.array(batch.column("sum(rev)").to_numpy()[ok], pa.int64()),
                          "n_orders": pa.array(batch.column("sum(cnt)").to_numpy()[ok], pa.int64())})
 
     by_nation = (
@@ -628,7 +641,8 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({
         "n_name": [names[int(k)] for k in by_nation["nationkey"]],
         "n_orders": by_nation["sum(n_orders)"].astype("int64"),
-        "revenue": round_ha(by_nation["sum(rev)"].to_numpy(), 2),
+        "revenue": round_ha(
+            by_nation["sum(rev)"].to_numpy().astype(np.float64) / 10000.0, 2),
     })
     return out.sort_values("n_name").reset_index(drop=True)
 
