@@ -801,3 +801,29 @@ def test_cents_recipe_pins_half_boundary_means(ray_session, tmp_path_factory):
     for col in ("value_count", "value_sum", "value_mean",
                 "value_min", "value_max"):
         assert float(got[col].iloc[0]) == float(exp[col].iloc[0]), col
+
+
+def test_hash_join_partials_matches_pandas_merge(ray_session):
+    """The union+groupby shuffle join == pandas inner merge + group sums,
+    including unmatched keys on both sides and multi-partial probe keys."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from ts_pymfe_ray.pipelines.join import hash_join_partials
+
+    rng = np.random.default_rng(21)
+    bkeys = np.arange(0, 300, dtype=np.int64)            # build: unique keys
+    bpay = rng.integers(0, 50, size=bkeys.size).astype(np.int64)
+    pkeys = rng.integers(-20, 320, size=2000).astype(np.int64)  # some miss
+    pvals = rng.integers(0, 1000, size=pkeys.size).astype(np.int64)
+
+    build = ray.data.from_arrow(pa.table({"key": bkeys, "pay": bpay}))
+    probe = ray.data.from_arrow(pa.table({"key": pkeys, "rev": pvals})) \
+        .repartition(7)  # multiple partial rows per key across blocks
+    got = hash_join_partials(build, probe, sum_cols=("rev",)).to_pandas()
+    got = got.groupby("pay")["rev"].sum().sort_index()
+
+    exp = (pd.DataFrame({"key": pkeys, "rev": pvals})
+           .merge(pd.DataFrame({"key": bkeys, "pay": bpay}), on="key")
+           .groupby("pay")["rev"].sum().sort_index())
+    pd.testing.assert_series_equal(got, exp, check_dtype=False)

@@ -547,12 +547,12 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
        is broadcast.
 
     Revenue sums are rounded to 2dp on both sides (the 1e8-magnitude sum
-    recipe shared with lineitem_pricing).  The per-key resolution runs as
-    NATIVE vectorized aggregates, not per-group Python: the build side's
-    payload travels as Max(pay) (exactly one build row per key, filler
-    -1 on probe rows), presence flags as Sums — one groupby per hop, no
-    map_groups."""
-    from ray.data.aggregate import Max, Sum
+    recipe shared with lineitem_pricing).  Each hop is one
+    ``join.hash_join_partials`` call — the reusable union+groupby shuffle
+    join (native vectorized aggregates, no per-group Python)."""
+    from ray.data.aggregate import Sum
+
+    from ts_pymfe_ray.pipelines.join import hash_join_partials
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -566,67 +566,42 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
                         * (1 - batch.column("l_discount").to_numpy()))
                        * 10000).astype(np.int64)
         df = pd.DataFrame({"key": k, "rev": rev})
-        g = df.groupby("key").agg(rev=("rev", "sum"),
-                                  n=("rev", "size")).reset_index()
-        m = len(g)
+        g = df.groupby("key")["rev"].sum().reset_index()
         return pa.table({"key": pa.array(g["key"].to_numpy(), pa.int64()),
-                         "rev": pa.array(g["rev"].to_numpy(), pa.int64()),
-                         "cnt": pa.array(np.ones(m, np.int64), pa.int64()),
-                         "pay": pa.array(np.full(m, -1, np.int64), pa.int64()),
-                         "left": pa.array(np.zeros(m, np.int64), pa.int64())})
+                         "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
 
-    def orders_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
+    def orders_build(batch: pa.Table) -> pa.Table:
         return pa.table({"key": pa.array(batch.column("o_orderkey").to_numpy(), pa.int64()),
-                         "rev": pa.array(np.zeros(n, np.int64), pa.int64()),
-                         "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
-                         "pay": pa.array(batch.column("o_custkey").to_numpy(), pa.int64()),
-                         "left": pa.array(np.ones(n, np.int64), pa.int64())})
+                         "pay": pa.array(batch.column("o_custkey").to_numpy(), pa.int64())})
 
-    joined1 = (
-        li.map_batches(li_combiner, batch_format="pyarrow")
-        .union(orders.map_batches(orders_rows, batch_format="pyarrow"))
-        .groupby("key")
-        .aggregate(Sum("rev"), Sum("cnt"), Max("pay"), Sum("left"))
-    )
+    order_rev = hash_join_partials(
+        orders.map_batches(orders_build, batch_format="pyarrow"),
+        li.map_batches(li_combiner, batch_format="pyarrow"),
+        sum_cols=("rev",),
+    )  # one row per matched order: (pay=custkey, rev)
 
-    def retag_cust(batch: pa.Table) -> pa.Table:
-        # inner-join filter: keep keys seen on BOTH sides, re-key on cust
-        ok = (batch.column("sum(left)").to_numpy() > 0) & \
-             (batch.column("sum(cnt)").to_numpy() > 0)
-        n = int(ok.sum())
-        return pa.table({"key": pa.array(batch.column("max(pay)").to_numpy()[ok], pa.int64()),
-                         "rev": pa.array(batch.column("sum(rev)").to_numpy()[ok], pa.int64()),
-                         "cnt": pa.array(np.ones(n, np.int64), pa.int64()),
-                         "pay": pa.array(np.full(n, -1, np.int64), pa.int64()),
-                         "left": pa.array(np.zeros(n, np.int64), pa.int64())})
+    def order_to_probe(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"key": batch.column("pay"),
+                         "rev": batch.column("rev"),
+                         "n_orders": pa.array(np.ones(n, np.int64), pa.int64())})
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
-    def cust_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
+    def cust_build(batch: pa.Table) -> pa.Table:
         return pa.table({"key": pa.array(batch.column("c_custkey").to_numpy(), pa.int64()),
-                         "rev": pa.array(np.zeros(n, np.int64), pa.int64()),
-                         "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
-                         "pay": pa.array(batch.column("c_nationkey").to_numpy(), pa.int64()),
-                         "left": pa.array(np.ones(n, np.int64), pa.int64())})
+                         "pay": pa.array(batch.column("c_nationkey").to_numpy(), pa.int64())})
 
-    joined2 = (
-        joined1.map_batches(retag_cust, batch_format="pyarrow")
-        .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
-        .groupby("key")
-        .aggregate(Sum("rev"), Sum("cnt"), Max("pay"), Sum("left"))
-    )
-
-    def to_nation(batch: pa.Table) -> pa.Table:
-        ok = (batch.column("sum(left)").to_numpy() > 0) & \
-             (batch.column("sum(cnt)").to_numpy() > 0)
-        return pa.table({"nationkey": pa.array(batch.column("max(pay)").to_numpy()[ok], pa.int64()),
-                         "rev": pa.array(batch.column("sum(rev)").to_numpy()[ok], pa.int64()),
-                         "n_orders": pa.array(batch.column("sum(cnt)").to_numpy()[ok], pa.int64())})
+    cust_rev = hash_join_partials(
+        cust.map_batches(cust_build, batch_format="pyarrow"),
+        order_rev.map_batches(order_to_probe, batch_format="pyarrow"),
+        sum_cols=("rev", "n_orders"),
+    )  # one row per matched customer: (pay=nationkey, rev, n_orders)
 
     by_nation = (
-        joined2.map_batches(to_nation, batch_format="pyarrow")
+        cust_rev.map_batches(
+            lambda b: b.rename_columns(["nationkey", "rev", "n_orders"]),
+            batch_format="pyarrow")
         .groupby("nationkey")
         .aggregate(Sum("rev"), Sum("n_orders"))
         .to_pandas()
