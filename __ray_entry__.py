@@ -389,7 +389,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": t.q_quality_filter,
         "bpe_token_count": t.q_bpe_token_count,
         "events_user_window_rollup": q.q_events_user_window_rollup,
-        "events_user_window_moments": q.q_events_user_window_moments,
         "events_sessionize_carry": q.q_events_sessionize_carry,
         "events_asof_carry": q.q_events_asof_purchase_carry,
         "events_range_join": q.q_events_range_join,
@@ -397,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # already graded green in CORRECTNESS_r04.json (check_oracle still
         # verifies them every round at both scales)
         "events_hopping_window": q.q_events_hopping_window,
+        "events_user_window_moments": q.q_events_user_window_moments,
         "events_window_rollup": q.q_events_window_rollup,
         "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
         "text_quality": t.q_text_quality,
