@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": t.q_lang_id,
         # Gopher-style duplicate-ngram repetition signal — new in round 5
         "doc_repetition": t.q_doc_repetition,
+        # cohort retention matrix — new in round 5
+        "events_retention_cohorts": q.q_events_retention_cohorts,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         # REAL (non-stub) opaque-payload compute — new in round 5
@@ -358,7 +360,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_topk": q.q_events_user_topk,
         "events_acf1": q.q_events_acf1,
         "lineitem_pricing": q.q_lineitem_pricing,
-        "orders_by_mktsegment": q.q_orders_by_mktsegment,
         "documents_stats": q.q_documents_stats,
         "documents_token_count": q.q_documents_token_count,
         # corpus-curation pack: deterministic sampling, heavy hitters,
@@ -398,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # already graded green in CORRECTNESS_r04.json (check_oracle still
         # verifies them every round at both scales)
         "events_hopping_window": q.q_events_hopping_window,
+        "orders_by_mktsegment": q.q_orders_by_mktsegment,
         "events_user_window_moments": q.q_events_user_window_moments,
         "multimodal_resize": q_multimodal_resize,
         "events_window_rollup": q.q_events_window_rollup,
@@ -2171,6 +2173,20 @@ def oracle_sql() -> dict[str, str]:
             FROM fr
             GROUP BY kind
             ORDER BY kind
+        """
+    d["events_retention_cohorts"] = """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                FROM events
+            ), cohorts AS (
+                SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id
+            )
+            SELECT c.cohort, ud.day - c.cohort AS "offset",
+                   COUNT(*) AS n_users
+            FROM ud JOIN cohorts c USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """
     d["multimodal_byte_entropy"] = """
             -- byte-histogram Shannon entropy per opaque payload (ASCII

@@ -667,6 +667,58 @@ def q_orders_monthly(sf_dir: str) -> pd.DataFrame:
                          sum_decimals=2, cents=True)
 
 
+def q_events_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-seen day
+    (cohort), counted per activity-day offset — the engagement rollup
+    every event-analytics stack ships.
+
+    Shape: per-batch distinct (user, day) combiner (shuffle carries one
+    row per active user-day, never events) -> per-user group over its
+    ACTIVE-DAY rows (bounded by the time range, not event counts — a
+    10^9-event bot still contributes <= #days rows) emits (cohort,
+    offset) pairs -> a bounded-domain (cohort x offset) count groupby.
+    All integers, hash-exact at every scale."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86400 * 1_000_000
+
+    def user_days(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        u = batch.column("user_id").to_numpy()
+        d = (ts_us.to_numpy() // day_us)
+        pairs = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
+                         "day": pa.array(pairs[:, 1], pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(df["day"].to_numpy())
+        cohort = days[0]
+        return pd.DataFrame({
+            "cohort": np.full(days.size, cohort, dtype=np.int64),
+            "offset": (days - cohort).astype(np.int64),
+        })
+
+    # per_user's np.unique dedups across batches, so the per-batch
+    # distinct rows go straight to the per-user group (rows bounded by
+    # active days x touching batches, never events)
+    pairs = (
+        ds.map_batches(user_days, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+    def count_cells(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["cohort", "offset"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = pairs.map_batches(count_cells, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["cohort", "offset"])["n"].sum().reset_index(name="n_users")
+    g["n_users"] = g["n_users"].astype("int64")
+    return g.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
 def q_events_value_var(sf_dir: str) -> pd.DataFrame:
     """Mergeable variance per event_type: per-batch (n, sum, sumsq) partial
     sketches -> exact sample variance at the merge — the same algebra the
