@@ -486,7 +486,9 @@ def _q_seq_fast_features_nogap(sf_dir: str):
             "diff_mean", "diff_var", "diff_sd", "diff_acf1"]
     g = df.groupby("source")[cols].mean().reset_index()
     for c in cols:
-        g[c] = round_ha(g[c].to_numpy())
+        # var columns are 1e8-magnitude: cross-doc summation ulps exceed
+        # 1e-6 at sf0.1 doc counts — round them at 2dp on both sides
+        g[c] = round_ha(g[c].to_numpy(), 2 if c in ("var", "diff_var") else 6)
     return g.sort_values("source").reset_index(drop=True)
 
 
@@ -1692,14 +1694,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    ROUND(AVG(length), 6) AS length,
                    ROUND(AVG(mean), 6) AS mean,
-                   ROUND(AVG(var), 6) AS var,
+                   -- var columns are 1e8-magnitude: 6dp is inside the
+                   -- cross-doc summation ulp band at sf0.1 doc counts, so
+                   -- both sides round them at 2dp (the 1e8-sum recipe)
+                   ROUND(AVG(var), 2) AS var,
                    ROUND(AVG(sd), 6) AS sd,
                    ROUND(AVG(acf1), 6) AS acf1,
                    ROUND(AVG(vmin), 6) AS vmin,
                    ROUND(AVG(vmax), 6) AS vmax,
                    ROUND(AVG(vrange), 6) AS vrange,
                    ROUND(AVG(diff_mean), 6) AS diff_mean,
-                   ROUND(AVG(diff_var), 6) AS diff_var,
+                   ROUND(AVG(diff_var), 2) AS diff_var,
                    ROUND(AVG(diff_sd), 6) AS diff_sd,
                    ROUND(AVG(diff_acf1), 6) AS diff_acf1
             FROM derived
