@@ -340,8 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": t.q_lang_id,
         # Gopher-style duplicate-ngram repetition signal — new in round 5
         "doc_repetition": t.q_doc_repetition,
-        # cohort retention matrix — new in round 5
+        # cohort retention matrix + conversion funnel — new in round 5
         "events_retention_cohorts": q.q_events_retention_cohorts,
+        "events_funnel": q.q_events_funnel,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         # REAL (non-stub) opaque-payload compute — new in round 5
@@ -392,13 +393,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": t.q_quality_filter,
         "bpe_token_count": t.q_bpe_token_count,
         "events_user_window_rollup": q.q_events_user_window_rollup,
-        "events_sessionize_carry": q.q_events_sessionize_carry,
         "events_asof_carry": q.q_events_asof_purchase_carry,
         "events_range_join": q.q_events_range_join,
         # --- beyond the driver's 50-query window: hash-exact operators ---
         # already graded green in CORRECTNESS_r04.json (check_oracle still
         # verifies them every round at both scales)
         "events_hopping_window": q.q_events_hopping_window,
+        "events_sessionize_carry": q.q_events_sessionize_carry,
         "orders_by_mktsegment": q.q_orders_by_mktsegment,
         "events_user_window_moments": q.q_events_user_window_moments,
         "multimodal_resize": q_multimodal_resize,
@@ -2178,6 +2179,29 @@ def oracle_sql() -> dict[str, str]:
             FROM fr
             GROUP BY kind
             ORDER BY kind
+        """
+    d["events_funnel"] = """
+            WITH fc AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS first_click
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id
+            ), conv AS (
+                SELECT f.user_id,
+                       MIN(epoch_us(e.ts)) AS first_purchase_after
+                FROM fc f JOIN events e
+                  ON e.user_id = f.user_id
+                 AND e.event_type = 'purchase'
+                 AND epoch_us(e.ts) >= f.first_click
+                GROUP BY f.user_id
+            )
+            SELECT f.first_click // 86400000000 AS cohort_day,
+                   COUNT(*) AS n_users,
+                   CAST(SUM(CASE WHEN c.first_purchase_after - f.first_click
+                                      <= CAST(72 AS BIGINT) * 3600 * 1000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM fc f LEFT JOIN conv c USING (user_id)
+            GROUP BY 1
+            ORDER BY 1
         """
     d["events_retention_cohorts"] = """
             WITH ud AS (

@@ -719,6 +719,96 @@ def q_events_retention_cohorts(sf_dir: str) -> pd.DataFrame:
     return g.sort_values(["cohort", "offset"]).reset_index(drop=True)
 
 
+def q_events_funnel(sf_dir: str, window_hours: int = 72,
+                    span_hours: int | None = None) -> pd.DataFrame:
+    """Forward conversion funnel: of the users whose FIRST click happened
+    on day D, how many purchased within ``window_hours`` after it — the
+    cohort conversion report every product-analytics stack ships.
+
+    Exact and hot-key bounded via span partials: each (user, span) task
+    emits ONE row (first click ts, first purchase ts, first purchase at or
+    after the span's first click); the per-user merge runs over span ROWS
+    sorted by span — the user's global first click lives in the first
+    span that has one, so the earliest qualifying purchase is either that
+    span's own after-click purchase or the first purchase of any later
+    span.  A 10^9-event user contributes <= one row per active span."""
+    import pyarrow.compute as pc
+
+    span_us = (span_hours or _SPAN_HOURS) * 3600 * 1_000_000
+    win_us = window_hours * 3600 * 1_000_000
+    day_us = 86400 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "span_id": pc.divide(ts_us, span_us),
+            "ts_us": ts_us,
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+        })
+
+    _NONE = np.int64(2**62)  # sentinel: no such event in the span
+
+    def per_span(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_us", "event_id"])
+        et = df["event_type"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        clicks = ts[et == "click"]
+        purch = ts[et == "purchase"]
+        fc = clicks[0] if clicks.size else _NONE
+        fp = purch[0] if purch.size else _NONE
+        after = purch[purch >= fc]
+        fpa = after[0] if after.size else _NONE
+        return pd.DataFrame({
+            "user_id": [np.int64(df["user_id"].iloc[0])],
+            "span_id": [np.int64(df["span_id"].iloc[0])],
+            "first_click": [np.int64(fc)],
+            "first_purchase": [np.int64(fp)],
+            "first_purchase_after": [np.int64(fpa)],
+        })
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("span_id")
+        fc_all = df["first_click"].to_numpy()
+        has = fc_all < _NONE
+        if not has.any():
+            return pd.DataFrame({"cohort_day": np.empty(0, np.int64),
+                                 "conv": np.empty(0, np.int64)})
+        k = int(np.flatnonzero(has)[0])
+        fc = fc_all[k]
+        candidates = [df["first_purchase_after"].to_numpy()[k]]
+        later = df["first_purchase"].to_numpy()[k + 1:]
+        if later.size:
+            candidates.append(later.min())
+        fp = int(min(candidates))
+        conv = int(fp < _NONE and fp - fc <= win_us)
+        return pd.DataFrame({"cohort_day": [np.int64(fc // day_us)],
+                             "conv": [np.int64(conv)]})
+
+    rows = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "span_id"])
+        .map_groups(per_span, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+    def count_cells(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("cohort_day").agg(
+            n_users=("conv", "size"), n_converted=("conv", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = rows.map_batches(count_cells, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("cohort_day").agg(
+        n_users=("n_users", "sum"), n_converted=("n_converted", "sum")).reset_index()
+    g["n_users"] = g["n_users"].astype("int64")
+    g["n_converted"] = g["n_converted"].astype("int64")
+    return g.sort_values("cohort_day").reset_index(drop=True)
+
+
 def q_events_value_var(sf_dir: str) -> pd.DataFrame:
     """Mergeable variance per event_type: per-batch (n, sum, sumsq) partial
     sketches -> exact sample variance at the merge — the same algebra the
