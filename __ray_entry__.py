@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort retention matrix + conversion funnel — new in round 5
         "events_retention_cohorts": q.q_events_retention_cohorts,
         "events_funnel": q.q_events_funnel,
+        "events_wau": q.q_events_wau,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         # REAL (non-stub) opaque-payload compute — new in round 5
@@ -362,7 +363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_acf1": q.q_events_acf1,
         "lineitem_pricing": q.q_lineitem_pricing,
         "documents_stats": q.q_documents_stats,
-        "documents_token_count": q.q_documents_token_count,
+        # reworked to the exact-cents sketch stream this round — keep its
+        # driver row (token_count, unchanged since r2, moved below)
+        "events_user_window_rollup": q.q_events_user_window_rollup,
         # corpus-curation pack: deterministic sampling, heavy hitters,
         # exact distributed quantiles, quantile-bucket stratification
         "documents_sample_hash": q.q_documents_sample_hash,
@@ -392,13 +395,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_multi": q.q_embeddings_knn_multi,
         "quality_filter": t.q_quality_filter,
         "bpe_token_count": t.q_bpe_token_count,
-        "events_user_window_rollup": q.q_events_user_window_rollup,
         "events_asof_carry": q.q_events_asof_purchase_carry,
         "events_range_join": q.q_events_range_join,
         # --- beyond the driver's 50-query window: hash-exact operators ---
         # already graded green in CORRECTNESS_r04.json (check_oracle still
         # verifies them every round at both scales)
         "events_hopping_window": q.q_events_hopping_window,
+        "documents_token_count": q.q_documents_token_count,
         "events_sessionize_carry": q.q_events_sessionize_carry,
         "orders_by_mktsegment": q.q_orders_by_mktsegment,
         "events_user_window_moments": q.q_events_user_window_moments,
@@ -2179,6 +2182,21 @@ def oracle_sql() -> dict[str, str]:
             FROM fr
             GROUP BY kind
             ORDER BY kind
+        """
+    d["events_wau"] = """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                FROM events
+            ), w AS (
+                SELECT user_id, day + k.k AS window_day
+                FROM ud, (SELECT unnest(generate_series(0, 6)) AS k) k
+            )
+            SELECT window_day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM w
+            GROUP BY window_day
+            ORDER BY window_day
         """
     d["events_funnel"] = """
             WITH fc AS (

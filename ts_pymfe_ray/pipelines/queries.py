@@ -719,6 +719,46 @@ def q_events_retention_cohorts(sf_dir: str) -> pd.DataFrame:
     return g.sort_values(["cohort", "offset"]).reset_index(drop=True)
 
 
+def q_events_wau(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Rolling weekly-active-users: distinct users in the 7-day window
+    ending each day — the sliding-distinct rollup (WAU/MAU) shape.
+
+    Exact: per-batch distinct (user, day) combiner, map-side replication
+    of each user-day into its ``window_days`` covering windows (the
+    hopping-window trick applied to a DISTINCT count), then one
+    (window, user) distinct pass collapsed per window.  Shuffle volume =
+    window_days x active user-days — never events."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86400 * 1_000_000
+
+    def user_day_windows(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        u = batch.column("user_id").to_numpy()
+        d = ts_us.to_numpy() // day_us
+        pairs = np.unique(np.stack([u, d], axis=1), axis=0)
+        k = np.arange(window_days, dtype=np.int64)
+        wins = (pairs[:, 1][:, None] + k[None, :]).ravel()
+        users = np.repeat(pairs[:, 0], window_days)
+        return pa.table({"window_day": pa.array(wins, pa.int64()),
+                         "user_id": pa.array(users, pa.int64())})
+
+    counts = (
+        ds.map_batches(user_day_windows, batch_format="pyarrow")
+        .groupby(["window_day", "user_id"])
+        .aggregate(Count())          # global distinct (window, user)
+        .groupby("window_day")
+        .aggregate(Count())
+        .to_pandas()
+    )
+    out = counts.rename(columns={"count()": "wau"})
+    out["wau"] = out["wau"].astype("int64")
+    return out.sort_values("window_day").reset_index(drop=True)
+
+
 def q_events_funnel(sf_dir: str, window_hours: int = 72,
                     span_hours: int | None = None) -> pd.DataFrame:
     """Forward conversion funnel: of the users whose FIRST click happened
