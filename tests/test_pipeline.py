@@ -827,3 +827,55 @@ def test_hash_join_partials_matches_pandas_merge(ray_session):
            .merge(pd.DataFrame({"key": bkeys, "pay": bpay}), on="key")
            .groupby("pay")["rev"].sum().sort_index())
     pd.testing.assert_series_equal(got, exp, check_dtype=False)
+
+
+def test_funnel_span_partials_match_bruteforce(ray_session, tmp_path_factory):
+    """The span-partial forward funnel must equal a brute-force pandas
+    computation — including on a hot user whose events span many 6h spans
+    (first click in one span, first qualifying purchase several spans
+    later) and users with purchases only before their first click."""
+    import pandas as pd
+    from ts_pymfe_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("funnelevents"))
+    df = _write_events(d, {1: 40_000, 2: 300, 3: 11, 4: 2}, seed=13)
+    # _write_events assigns event_type by event_id % 3: click/error/view —
+    # rewrite deterministically so purchases exist sparsely
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(7)
+    et = np.where(rng.random(len(df)) < 0.03, "purchase",
+                  np.where(rng.random(len(df)) < 0.5, "click", "view"))
+    df["event_type"] = et
+    tbl = pa.table({
+        "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+        "ts": pa.array(df["ts"].to_numpy().astype("datetime64[us]")),
+        "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+        "event_type": pa.array(df["event_type"].to_numpy(dtype=object), pa.string()),
+        "value": pa.array(df["value"].to_numpy(), pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+    got = q.q_events_funnel(d, span_hours=6)
+
+    day_us = 86400 * 1_000_000
+    win_us = 72 * 3600 * 1_000_000
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        et = g["event_type"].to_numpy()
+        clicks = ts[et == "click"]
+        if clicks.size == 0:
+            continue
+        fc = clicks.min()
+        purch = ts[(et == "purchase") & (ts >= fc)]
+        conv = int(purch.size > 0 and purch.min() - fc <= win_us)
+        rows.append({"cohort_day": fc // day_us, "conv": conv})
+    ref = pd.DataFrame(rows)
+    exp = ref.groupby("cohort_day").agg(
+        n_users=("conv", "size"), n_converted=("conv", "sum")).reset_index()
+    exp["cohort_day"] = exp["cohort_day"].astype("int64")
+    exp["n_users"] = exp["n_users"].astype("int64")
+    exp["n_converted"] = exp["n_converted"].astype("int64")
+    exp = exp.sort_values("cohort_day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
