@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention_cohorts": q.q_events_retention_cohorts,
         "events_funnel": q.q_events_funnel,
         "events_wau": q.q_events_wau,
+        "events_interarrival": q.q_events_interarrival,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         # REAL (non-stub) opaque-payload compute — new in round 5
@@ -359,7 +360,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q.q_revenue_by_nation,
         "seq_gapfill_mean": _q_seq_gapfill_mean,
         # --- hash-exact, driver-graded round 4 (kept inside the window) ---
-        "events_user_topk": q.q_events_user_topk,
         "events_acf1": q.q_events_acf1,
         "lineitem_pricing": q.q_lineitem_pricing,
         "documents_stats": q.q_documents_stats,
@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # already graded green in CORRECTNESS_r04.json (check_oracle still
         # verifies them every round at both scales)
         "events_hopping_window": q.q_events_hopping_window,
+        "events_user_topk": q.q_events_user_topk,
         "documents_token_count": q.q_documents_token_count,
         "events_sessionize_carry": q.q_events_sessionize_carry,
         "orders_by_mktsegment": q.q_orders_by_mktsegment,
@@ -2182,6 +2183,24 @@ def oracle_sql() -> dict[str, str]:
             FROM fr
             GROUP BY kind
             ORDER BY kind
+        """
+    d["events_interarrival"] = """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY event_type
+                           ORDER BY epoch_us(ts), event_id) AS gap
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                   ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 6)
+                       AS mean_gap_us,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us
+            FROM g
+            GROUP BY event_type
+            ORDER BY event_type
         """
     d["events_wau"] = """
             WITH ud AS (

@@ -719,6 +719,76 @@ def q_events_retention_cohorts(sf_dir: str) -> pd.DataFrame:
     return g.sort_values(["cohort", "offset"]).reset_index(drop=True)
 
 
+def q_events_interarrival(sf_dir: str, span_hours: int | None = None) -> pd.DataFrame:
+    """Per-type inter-arrival gap statistics (count / mean / min / max of
+    adjacent event gaps in global chronological order) — the traffic-
+    cadence rollup, distributed with the same span-pair shape as the
+    per-type acf1: each (event_type, span) task reduces to ONE row of
+    interior-gap integer sums plus its first/last timestamp; the per-type
+    merge over span rows adds the cross-span boundary gaps.  Gap sums are
+    exact int64 (total <= the time range in us), so mean is one shared
+    IEEE division and min/max are exact."""
+    import pyarrow.compute as pc
+
+    span_us = (span_hours or _SPAN_HOURS) * 3600 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "span_id": pc.divide(ts_us, span_us),
+            "ts_us": ts_us,
+            "event_id": batch.column("event_id"),
+        })
+
+    _BIG = np.int64(2**62)
+
+    def per_span(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_us", "event_id"])
+        t = df["ts_us"].to_numpy()
+        gaps = np.diff(t)
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "span_id": [np.int64(df["span_id"].iloc[0])],
+            "n": [np.int64(gaps.size)],
+            "s1": [np.int64(gaps.sum())],
+            "gmin": [np.int64(gaps.min()) if gaps.size else _BIG],
+            "gmax": [np.int64(gaps.max()) if gaps.size else np.int64(-1)],
+            "first_ts": [np.int64(t[0])],
+            "last_ts": [np.int64(t[-1])],
+        })
+
+    def merge_type(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("span_id")
+        bg = df["first_ts"].to_numpy()[1:] - df["last_ts"].to_numpy()[:-1]
+        n = int(df["n"].sum()) + bg.size
+        if n == 0:
+            return pd.DataFrame({"event_type": [], "n_gaps": [],
+                                 "mean_gap_us": [], "min_gap_us": [],
+                                 "max_gap_us": []})
+        s1 = int(df["s1"].sum()) + int(bg.sum())
+        gmin = min(int(df["gmin"].min()), int(bg.min()) if bg.size else int(_BIG))
+        gmax = max(int(df["gmax"].max()), int(bg.max()) if bg.size else -1)
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "n_gaps": [np.int64(n)],
+            "mean_gap_us": [round_ha(float(s1) / n)],
+            "min_gap_us": [np.int64(gmin)],
+            "max_gap_us": [np.int64(gmax)],
+        })
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "span_id"])
+        .map_groups(per_span, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge_type, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_events_wau(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     """Rolling weekly-active-users: distinct users in the 7-day window
     ending each day — the sliding-distinct rollup (WAU/MAU) shape.
